@@ -1,0 +1,152 @@
+"""Candidate extraction (SURVEY J1/J2): per-doc pairing join + throttlers.
+
+The reference's ``CandidateExtractor`` (``transistors.py:266-298``) takes a
+per-document cross product of typed mentions and prunes it with throttlers
+(``transistor_throttlers.py:30-81``). In Spark this is *the* classic KBC
+join: an equi-join on ``url`` with the throttler written as join-adjacent
+predicates so Catalyst pushes them into the join. Hot crawl domains make
+``url`` skewed; AQE skew-join is on by default (session.py) and
+``salt_hot_keys`` gives an explicit pre-split for the pathological tail.
+
+Alignment semantics (structural projection of fonduer's visual checks):
+``same_table`` = equal table_id; horizontally aligned = same row;
+vertically aligned = same column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.context import lower_arr
+
+PART_LIKE_RGX = r"^(?:[0-9]+[A-Z]+|[A-Z]+[0-9]+)[0-9A-Z]*$"  # throttlers.py:17
+
+
+def _prefixed(cols: DataFrame, prefix: str) -> DataFrame:
+    return cols.select(
+        [F.col("url")] + [F.col(c).alias(f"{prefix}{c}")
+                          for c in cols.columns if c != "url"]
+    )
+
+
+def pair_mentions(parts: DataFrame, attrs: DataFrame) -> DataFrame:
+    """Raw per-doc cross product: one row per (part mention, attr mention)."""
+    return _prefixed(parts, "p_").join(_prefixed(attrs, "a_"), "url")
+
+
+def same_table():
+    return (
+        F.col("p_table_id").isNotNull()
+        & (F.col("p_table_id") == F.col("a_table_id"))
+    )
+
+
+def aligned():
+    """same row (horz) or same column (vert) within one table."""
+    return same_table() & (
+        (F.col("p_row") == F.col("a_row")) | (F.col("p_col") == F.col("a_col"))
+    )
+
+
+def stg_temp_candidates(parts: DataFrame, temps: DataFrame) -> DataFrame:
+    """stg_temp_filter (transistor_throttlers.py:30-36): inside one table the
+    pair must be aligned; across contexts the part must be tabular."""
+    return pair_mentions(parts, temps).filter(
+        F.when(same_table(), aligned()).otherwise(F.col("p_is_tabular"))
+    )
+
+
+def polarity_candidates(parts: DataFrame, pols: DataFrame,
+                        row_ngrams: DataFrame) -> DataFrame:
+    """polarity_filter (transistor_throttlers.py:39-59): if the part's table
+    row names a polarity, the attr must prefix-match one of them; aligned
+    when same table."""
+    prn = row_ngrams.select(
+        F.col("url"), F.col("table_id").alias("p_table_id"),
+        F.col("row").alias("p_row"), F.col("grams").alias("_p_row_grams"),
+    )
+    cands = (
+        pair_mentions(parts, pols)
+        .join(prn, ["url", "p_table_id", "p_row"], "left")
+        .withColumn("_p_row_grams", F.coalesce(F.col("_p_row_grams"), F.array()))
+    )
+    row_pols = F.filter(
+        F.col("_p_row_grams"),
+        lambda g: F.regexp_like(g, F.lit(r"^(?i)(?:NPN|PNP)")),
+    )
+    pol_matches = F.exists(
+        row_pols,
+        lambda g: F.startswith(F.lower(F.col("a_span")), F.lower(g)),
+    )
+    return (
+        cands.filter((F.size(row_pols) == 0) | pol_matches)
+        .filter(F.when(same_table(), aligned()).otherwise(F.lit(True)))
+        .drop("_p_row_grams")
+    )
+
+
+def ce_v_max_candidates(parts: DataFrame, volts: DataFrame,
+                        row_ngrams: DataFrame,
+                        col_ngrams: DataFrame) -> DataFrame:
+    """ce_v_max_filter (transistor_throttlers.py:62-81): aligned when same
+    table; otherwise, if the attr's row/column context names part-like
+    tokens, the part must prefix-match one of them."""
+    arn = row_ngrams.select(
+        "url", F.col("table_id").alias("a_table_id"),
+        F.col("row").alias("a_row"), F.col("grams").alias("_a_row_grams"),
+    )
+    acn = col_ngrams.select(
+        "url", F.col("table_id").alias("a_table_id"),
+        F.col("col").alias("a_col"), F.col("grams").alias("_a_col_grams"),
+    )
+    cands = (
+        pair_mentions(parts, volts)
+        .join(arn, ["url", "a_table_id", "a_row"], "left")
+        .join(acn, ["url", "a_table_id", "a_col"], "left")
+        .withColumn("_ctx", F.concat(
+            F.coalesce(F.col("_a_row_grams"), F.array()),
+            F.coalesce(F.col("_a_col_grams"), F.array()),
+        ))
+    )
+    ctx_parts = F.filter(
+        F.col("_ctx"),
+        lambda g: F.regexp_like(F.upper(g), F.lit(PART_LIKE_RGX))
+        & (F.length(g) > 2),
+    )
+    part_matches = F.exists(
+        ctx_parts,
+        lambda g: F.startswith(F.lower(F.col("p_span")), F.lower(g)),
+    )
+    return (
+        cands.filter(
+            F.when(same_table(), aligned()).otherwise(
+                (F.size(ctx_parts) == 0) | part_matches
+            )
+        )
+        .drop("_a_row_grams", "_a_col_grams", "_ctx")
+    )
+
+
+def unary_candidates(attrs: DataFrame) -> DataFrame:
+    """Opamp-style unary candidates: the subject is the document itself
+    (``opamps.py:263-267``)."""
+    return _prefixed(attrs, "a_")
+
+
+def salt_hot_keys(df: DataFrame, key: str = "url", buckets: int = 8,
+                  threshold: int = 10_000) -> DataFrame:
+    """Explicit skew salting (north_rule): append a salt column that splits
+    keys with > ``threshold`` rows into ``buckets`` sub-keys. Joins then use
+    (key, salt) after exploding the small side over the salt range. At test
+    scale this is exercised by tests, not wired into the default plan —
+    AQE's skew-join split handles the sf0.1 sizes on its own."""
+    counts = df.groupBy(key).count().filter(F.col("count") > threshold)
+    return (
+        df.join(F.broadcast(counts.select(key)), key, "left_semi")
+        .withColumn("_salt", (F.rand(seed=7) * buckets).cast("int"))
+        .unionByName(
+            df.join(F.broadcast(counts.select(key)), key, "left_anti")
+            .withColumn("_salt", F.lit(0))
+        )
+    )

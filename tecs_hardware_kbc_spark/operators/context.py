@@ -1,0 +1,112 @@
+"""Context-relation tables (SURVEY J7/W1-W2) — the big architectural rewrite.
+
+Fonduer answers every ``get_row_ngrams``/``get_col_ngrams``/
+``get_aligned_ngrams`` probe by walking the object graph per candidate
+(N+1 Postgres queries — ``transistor_lfs.py:4-24``). We compute each
+context *relation* ONCE as a DataFrame and answer every probe with an
+equi-join + ``arrays_overlap``/``exists``:
+
+* ``row_ngrams(url, table_id, row, grams array<string>)``
+* ``col_ngrams(url, table_id, col, grams array<string>)``
+* aligned ngrams == ``array_union(row, col)`` at the probe site
+  (fonduer's ``get_aligned_ngrams`` = row ∪ col);
+* sentence/left/right window ngrams come straight off the mention's own
+  sentence row (``words`` + the mention's word index) — no join at all.
+
+Grams are stored raw-case; probes that need lowercase apply
+``transform(x, lower)`` in the plan (stays in whole-stage codegen).
+
+At 100 TB these tables are bucketable by ``url`` so that the mention ->
+context joins are co-partitioned with the candidate join (one shuffle,
+reused across stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def _cell_grams(sentences: DataFrame) -> DataFrame:
+    """Exploded 1..3-gram spans of tabular cells (plus sub-token grams)."""
+    return (
+        sentences.filter(F.col("table_id").isNotNull())
+        .select(
+            "url", "table_id", "row", "col",
+            F.explode("grams").alias("g"),
+        )
+        .select("url", "table_id", "row", "col", F.col("g.span").alias("span"))
+    )
+
+
+def build_row_ngrams(sentences: DataFrame) -> DataFrame:
+    """(url, table_id, row) -> distinct gram spans anywhere in that row."""
+    return (
+        _cell_grams(sentences)
+        .groupBy("url", "table_id", "row")
+        .agg(F.collect_set("span").alias("grams"))
+    )
+
+
+def build_col_ngrams(sentences: DataFrame) -> DataFrame:
+    """(url, table_id, col) -> distinct gram spans anywhere in that column."""
+    return (
+        _cell_grams(sentences)
+        .groupBy("url", "table_id", "col")
+        .agg(F.collect_set("span").alias("grams"))
+    )
+
+
+def build_row_spread(row_ngrams: DataFrame, spread: int) -> DataFrame:
+    """(url, table_id, row) -> grams of every row within ±spread.
+
+    Fonduer's ``get_row_ngrams(spread=[-k, k])`` (``opamp_matchers.py:42,79``)
+    re-walks the table per candidate; we materialize the spread relation once:
+    each row's gram set is contributed to its 2k+1 neighbors via an explode,
+    then re-aggregated — one shuffle, reused by every probe of that spread.
+    """
+    return (
+        row_ngrams.select(
+            "url", "table_id",
+            F.explode(F.sequence(F.col("row") - spread,
+                                 F.col("row") + spread)).alias("row"),
+            "grams",
+        )
+        .filter(F.col("row") >= 0)
+        .groupBy("url", "table_id", "row")
+        .agg(F.array_distinct(F.flatten(F.collect_list("grams"))).alias("grams"))
+    )
+
+
+def build_sentence_ngrams(sentences: DataFrame) -> DataFrame:
+    """(url, position) -> gram spans of the sentence and its neighbors.
+
+    ``neighbor_grams`` covers fonduer's ``get_neighbor_sentence_ngrams``
+    (previous + next sentence in reading order) via a window — one shuffle
+    on url, no self-join.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy("position")
+    spans = F.transform("grams", lambda g: g["span"])
+    return sentences.select(
+        "url",
+        "position",
+        spans.alias("sent_grams"),
+        F.concat(
+            F.coalesce(F.lag(spans, 1).over(w), F.array()),
+            F.coalesce(F.lead(spans, 1).over(w), F.array()),
+        ).alias("neighbor_grams"),
+    )
+
+
+def lower_arr(col):
+    """Lowercase every element of an array column (codegen-friendly)."""
+    return F.transform(col, lambda x: F.lower(x))
+
+
+def overlaps(arr_col, keywords: list[str], lower: bool = True):
+    """``overlap(keywords, ngrams)`` (transistor_matchers.py:12) as a column
+    predicate: does the gram array intersect the keyword list?"""
+    arr = lower_arr(arr_col) if lower else F.col(arr_col) if isinstance(arr_col, str) else arr_col
+    return F.arrays_overlap(arr, F.array(*[F.lit(k) for k in keywords]))

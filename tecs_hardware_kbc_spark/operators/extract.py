@@ -1,0 +1,268 @@
+"""Structural HTML parse -> sentences DataFrame (SURVEY S2).
+
+The reference parses HTML+PDF with fonduer's ``Parser(structural=True,
+lingual=True, visual=True)`` (``hack/utils/utils.py:48-56``) into a
+Document/Table/Cell/Sentence hierarchy stored in Postgres. Here the same
+structure is computed by ONE deterministic stdlib-only kernel,
+``parse_html``, run as an Arrow-batched ``mapInPandas`` over the ``pages``
+table — no server round-trips, no worker pools, shuffle-free.
+
+**The byte-identical invariant** (BASELINE.json input_hint): the canonical
+extracted text of a page is ``"\\n".join(sentence.text for sentence in
+parse_html(html))``, and must equal the ``text`` column of the ``pages``
+table byte-for-byte, per url. ``extract_text`` is that definition;
+``tests/test_extract.py`` enforces it.
+
+Structural coordinates substitute for fonduer's PDF visual coordinates:
+* ``table_id``/``row``/``col`` — cell position (fonduer's Cell model);
+* ``page`` — synthetic pagination: 1 + block_ordinal // BLOCKS_PER_PAGE
+  (datasheet tables land on early pages, like the reference corpus);
+* horizontal alignment == same table row, vertical == same table column
+  (the structural projection of ``is_horz_aligned``/``is_vert_aligned``).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from tecs_hardware_kbc_spark.functions.text import split_subtokens, tokenize
+
+BLOCKS_PER_PAGE = 8
+NGRAM_MAX = 3
+
+_BLOCK_TAGS = {"title", "h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "caption"}
+_SKIP_TAGS = {"script", "style"}
+_WS_RE = re.compile(r"\s+")
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+class _StructParser(HTMLParser):
+    """Single-pass structural walk: emits (text, tag, table_id, row, col)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[dict] = []
+        self._buf: list[str] = []
+        self._tag_stack: list[str] = []
+        self._block_tag: str | None = None
+        self._n_tables = 0
+        self._table_id: int | None = None
+        self._row = -1
+        self._col = -1
+        self._in_cell = False
+
+    def _flush(self, tag: str, table_id: int | None = None,
+               row: int | None = None, col: int | None = None) -> None:
+        text = _WS_RE.sub(" ", "".join(self._buf)).strip()
+        self._buf = []
+        if text:
+            self.blocks.append(
+                {"text": text, "tag": tag, "table_id": table_id, "row": row, "col": col}
+            )
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._tag_stack.append(tag)
+        if tag == "table":
+            self._table_id = self._n_tables
+            self._n_tables += 1
+            self._row = -1
+        elif tag == "tr":
+            self._row += 1
+            self._col = -1
+        elif tag in ("td", "th"):
+            self._col += 1
+            self._in_cell = True
+            self._buf = []
+        elif tag in _BLOCK_TAGS:
+            self._block_tag = tag
+            self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        while self._tag_stack and self._tag_stack[-1] != tag:
+            self._tag_stack.pop()
+        if self._tag_stack:
+            self._tag_stack.pop()
+        if tag in ("td", "th") and self._in_cell:
+            self._flush("th" if tag == "th" else "td",
+                        table_id=self._table_id, row=self._row, col=self._col)
+            self._in_cell = False
+        elif tag == "table":
+            self._table_id = None
+        elif tag in _BLOCK_TAGS and self._block_tag == tag:
+            self._flush(tag)
+            self._block_tag = None
+
+    def handle_data(self, data: str) -> None:
+        if any(t in _SKIP_TAGS for t in self._tag_stack):
+            return
+        if self._in_cell or self._block_tag is not None:
+            self._buf.append(data)
+
+
+def parse_html(html: bytes | str) -> list[dict]:
+    """Deterministic structural parse of one page into sentence dicts.
+
+    Prose blocks are split into sentences on terminal punctuation; each table
+    cell is one sentence carrying (table_id, table position == table_id, row,
+    col). ``position`` is the reading-order sentence ordinal; ``page`` is the
+    synthetic pagination of the *block* the sentence came from.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    parser = _StructParser()
+    parser.feed(html)
+    parser.close()
+
+    sentences: list[dict] = []
+    position = 0
+    block_ordinal = 0
+    last_row_key: tuple | None = None
+    for blk in parser.blocks:
+        if blk["table_id"] is not None:
+            # one block per table row (cells share the row's page)
+            row_key = (blk["table_id"], blk["row"])
+            if row_key != last_row_key:
+                block_ordinal += 1
+                last_row_key = row_key
+            texts = [blk["text"]]
+        else:
+            block_ordinal += 1
+            last_row_key = None
+            texts = _SENT_SPLIT_RE.split(blk["text"])
+        page = 1 + (block_ordinal - 1) // BLOCKS_PER_PAGE
+        for text in texts:
+            text = text.strip()
+            if not text:
+                continue
+            words = tokenize(text)
+            sentences.append(
+                {
+                    "position": position,
+                    "text": text,
+                    "words": words,
+                    "grams": _gram_space(text, words),
+                    "tag": blk["tag"],
+                    "table_id": blk["table_id"],
+                    "row": blk["row"],
+                    "col": blk["col"],
+                    "page": page,
+                    "is_tabular": blk["table_id"] is not None,
+                }
+            )
+            position += 1
+    return sentences
+
+
+def _gram_space(text: str, words: list[str]) -> list[dict]:
+    """The sentence's mention n-gram space, precomputed once at parse time.
+
+    Mirrors fonduer's ``MentionNgrams(n_max=3, split_tokens=["-", "/"])``
+    (``transistors.py:205-241``): all word 1..3-grams with char offsets, plus
+    sub-token unigrams from re-splitting on '-' and '/'. Downstream mention
+    detection is then a pure JVM-side ``explode`` + filter — no Python.
+
+    ``wi`` = starting word index, ``n`` = gram length in words (0 marks a
+    sub-token gram anchored at its parent word).
+    """
+    # char offset of each word (whitespace tokenization => find sequentially)
+    offsets: list[int] = []
+    cursor = 0
+    for w in words:
+        idx = text.index(w, cursor)
+        offsets.append(idx)
+        cursor = idx + len(w)
+    grams: list[dict] = []
+    for i, w in enumerate(words):
+        for n in range(1, min(NGRAM_MAX, len(words) - i) + 1):
+            span = " ".join(words[i : i + n])
+            grams.append(
+                {"span": span, "wi": i, "n": n,
+                 "char_start": offsets[i],
+                 "char_end": offsets[i + n - 1] + len(words[i + n - 1]) - 1}
+            )
+        for sub in split_subtokens(w):
+            sub_start = offsets[i] + w.index(sub)
+            grams.append(
+                {"span": sub, "wi": i, "n": 0,
+                 "char_start": sub_start, "char_end": sub_start + len(sub) - 1}
+            )
+    return grams
+
+
+def extract_text(html: bytes | str) -> str:
+    """THE canonical per-url extracted text (byte-identical invariant)."""
+    return "\n".join(s["text"] for s in parse_html(html))
+
+
+GRAM_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("span", T.StringType(), False),
+            T.StructField("wi", T.IntegerType(), False),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("char_start", T.IntegerType(), False),
+            T.StructField("char_end", T.IntegerType(), False),
+        ]
+    )
+)
+
+SENTENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("position", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("words", T.ArrayType(T.StringType()), False),
+        T.StructField("grams", GRAM_SCHEMA, False),
+        T.StructField("tag", T.StringType(), True),
+        T.StructField("table_id", T.IntegerType(), True),
+        T.StructField("row", T.IntegerType(), True),
+        T.StructField("col", T.IntegerType(), True),
+        T.StructField("page", T.IntegerType(), True),
+        T.StructField("is_tabular", T.BooleanType(), False),
+    ]
+)
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> sentences DataFrame via Arrow-batched parse.
+
+    Narrow (no shuffle): each input partition maps to its sentence rows.
+    Only ``url`` and ``html`` are read — Catalyst prunes the rest at the scan.
+    """
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for s in parse_html(html):
+                    s["url"] = url
+                    rows.append(s)
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in SENTENCE_SCHEMA.fields],
+            )
+
+    return pages.select("url", "html").mapInPandas(_parse, schema=SENTENCE_SCHEMA)
+
+
+def check_extraction_invariant(pages: DataFrame) -> DataFrame:
+    """Rows where re-extracted text != stored ``text`` (must be empty).
+
+    Distributed check — runs the extraction UDF and compares byte-for-byte.
+    """
+    extract_udf = F.pandas_udf(
+        lambda s: s.map(extract_text), T.StringType()  # type: ignore[arg-type]
+    )
+    return (
+        pages.withColumn("_re", extract_udf(F.col("html")))
+        .filter(F.col("_re") != F.col("text"))
+        .select("url", "text", "_re")
+    )

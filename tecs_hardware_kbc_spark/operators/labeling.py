@@ -1,0 +1,276 @@
+"""Labeling-function matrix + weak-supervision vote aggregation (SURVEY A2).
+
+The reference computes a #cands × #LFs matrix of votes in {ABSTAIN -1,
+FALSE 0, TRUE 1} (``transistor_lfs.py:28-30``) with one Python call per
+(candidate, LF) pair, then fits a Snorkel ``LabelModel``
+(``transistors.py:68-77``). Here ALL LFs for a relation are computed as
+columns of ONE wide select over the candidate frame joined once to its
+context arrays — a single whole-stage-codegen pass — and the generative
+model is replaced by the north-star-sanctioned vote aggregation: a
+Laplace-smoothed vote ratio
+
+    prob = (1 + #TRUE) / (2 + #TRUE + #FALSE)
+
+computed with ``aggregate`` over the vote array (monotone in the vote
+margin, deterministic, and distributed — no driver-side model fit).
+
+Each LF below cites its reference twin in
+``hack/transistors/transistor_lfs.py`` / ``hack/opamps/opamp_matchers.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.candidates import aligned, same_table
+from tecs_hardware_kbc_spark.operators.context import lower_arr, overlaps
+
+ABSTAIN, FALSE, TRUE = -1, 0, 1
+
+
+def _T(cond: Column) -> Column:
+    return F.when(cond, TRUE).otherwise(ABSTAIN)
+
+
+def _F(cond: Column) -> Column:
+    return F.when(cond, FALSE).otherwise(ABSTAIN)
+
+
+def with_context(cands: DataFrame, sentences: DataFrame,
+                 row_ngrams: DataFrame, col_ngrams: DataFrame) -> DataFrame:
+    """Join a candidate frame to every context array the LFs probe.
+
+    One pass, all left joins on the same co-partitioned keys; missing
+    context (non-tabular sentences) becomes empty arrays so every LF is a
+    total function.
+    """
+    def ctx(tbl: DataFrame, keycols: list[str], out: str, side: str,
+            axis: str) -> DataFrame:
+        renamed = tbl.select(
+            "url",
+            F.col("table_id").alias(f"{side}table_id"),
+            F.col(axis).alias(f"{side}{axis}"),
+            F.col("grams").alias(out),
+        )
+        return renamed
+
+    has_part = "p_span" in cands.columns
+    out = cands
+    joins = [
+        (row_ngrams, "a_", "row", "_a_row"),
+        (col_ngrams, "a_", "col", "_a_col"),
+    ]
+    if has_part:
+        joins.append((row_ngrams, "p_", "row", "_p_row"))
+    for tbl, side, axis, name in joins:
+        out = out.join(
+            ctx(tbl, [], name, side, axis),
+            ["url", f"{side}table_id", f"{side}{axis}"], "left",
+        ).withColumn(name, F.coalesce(F.col(name), F.array()))
+
+    sent = sentences.select(
+        "url", "position",
+        F.col("words").alias("_words"),
+        F.transform("grams", lambda g: g["span"]).alias("_sent_grams"),
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("url").orderBy("position")
+    sent = sent.withColumn(
+        "_neighbor_grams",
+        F.concat(
+            F.coalesce(F.lag("_sent_grams", 1).over(w), F.array()),
+            F.coalesce(F.lead("_sent_grams", 1).over(w), F.array()),
+        ),
+    )
+    for side in (("a_", "p_") if has_part else ("a_",)):
+        out = out.join(
+            sent.select(
+                "url", F.col("position").alias(f"{side}position"),
+                F.col("_words").alias(f"_{side}words"),
+                F.col("_sent_grams").alias(f"_{side}sent"),
+                F.col("_neighbor_grams").alias(f"_{side}neighbor"),
+            ),
+            ["url", f"{side}position"], "left",
+        )
+    return out
+
+
+def _left_words(side: str, k: int) -> Column:
+    """k words left of the mention within its sentence (get_left_ngrams)."""
+    start = F.greatest(F.col(f"{side}wi") - k + 1, F.lit(0)) + 1
+    length = F.col(f"{side}wi") - (start - 1)
+    return lower_arr(F.slice(F.col(f"_{side}words"), start, length))
+
+
+def _right_words(side: str, k: int) -> Column:
+    n = F.greatest(F.col(f"{side}n"), F.lit(1))
+    return lower_arr(
+        F.slice(F.col(f"_{side}words"), F.col(f"{side}wi") + n + 1, F.lit(k))
+    )
+
+
+def _aligned(side: str = "a_") -> Column:
+    return F.concat(F.col(f"_{side}row"), F.col(f"_{side}col"))
+
+
+def stg_temp_lfs(kind: str) -> dict[str, Column]:
+    """transistor_lfs.py:55-211 (the active stg_temp set)."""
+    row = F.col("_a_row")
+    al = _aligned("a_")
+    lfs = {
+        "storage_row": _T(overlaps(row, ["storage"])),
+        "temperature_row": _T(overlaps(row, ["temperature"])),
+        "operating_row": _F(overlaps(row, ["operating"])),
+        "tstg_row": _T(overlaps(row, ["tstg", "stg", "ts"])),
+        "not_temp_relevant": _F(
+            ~overlaps(al, ["storage", "temperature", "tstg", "stg", "ts"])),
+        "voltage_aligned": _F(overlaps(al, ["voltage", "cbo", "ceo", "ebo", "v"])),
+        "current_aligned": _F(overlaps(al, ["current", "dc", "ic"])),
+        "collector_aligned": _F(overlaps(
+            al, ["collector", "collector-current", "collector-base",
+                 "collector-emitter"])),
+        "temp_on_high_page": _F(F.col("a_page") > 2),
+    }
+    if kind == "min":
+        lfs.update({
+            "to_right": _T(F.array_contains(_right_words("a_", 2), "to")),
+            "positive_number_right": _T(F.exists(
+                _right_words("a_", 4),
+                lambda x: F.regexp_like(x, F.lit(r"^\d+")))),
+            "other_minus_in_row": _F(F.array_contains(lower_arr(row), "-")),
+        })
+    else:
+        lfs.update({
+            "to_left": _T(F.array_contains(_left_words("a_", 2), "to")),
+            "negative_number_left": _T(F.exists(
+                _left_words("a_", 4),
+                lambda x: F.regexp_like(x, F.lit(r"^-\s*\d+")))),
+        })
+    return lfs
+
+
+def polarity_lfs() -> dict[str, Column]:
+    """transistor_lfs.py:215-374 (the active polarity set).
+
+    ``both_in_top_third`` substitutes first-blocks-of-page-1 for the PDF
+    vertical percentile (no visual coords in HTML-only mode).
+    ``part_complement_veto`` enables the reference's commented-out
+    LF_complement_left_row (transistor_lfs.py:148-160).
+    """
+    a_sent_l = lower_arr(F.col("_a_sent"))
+    nbr_l = F.concat(a_sent_l, lower_arr(F.col("_a_neighbor")))
+    return {
+        "same_page": _T(F.col("p_page") == F.col("a_page")),
+        "description_aligned": _T(overlaps(_aligned("a_"),
+                                           ["description", "polarity"])),
+        "transistor_type": _T(overlaps(
+            nbr_l,
+            ["silicon", "power", "darlington", "epitaxial", "low noise",
+             "ampl/switch", "switch", "surface", "mount"], lower=False)),
+        "part_tabular_aligned": _T(aligned()),
+        "right_of_part": _T(F.array_contains(
+            F.slice(F.col("_p_words"), F.col("p_wi") + F.col("p_n") + 1,
+                    F.lit(10)),
+            F.col("a_span"))),
+        "on_early_page": _T((F.col("p_page") <= 2) & (F.col("a_page") <= 2)),
+        "in_header_tag": _T(F.col("a_tag").startswith("h")),
+        "both_in_top_third": _T(
+            (F.col("p_page") == 1) & (F.col("a_page") == 1)
+            & (F.col("p_position") <= 16) & (F.col("a_position") <= 16)),
+        "complement_veto": _F(overlaps(nbr_l, ["complement", "complementary"],
+                                       lower=False)),
+        "both_present": _F(F.array_contains(a_sent_l, "npn")
+                           & F.array_contains(a_sent_l, "pnp")),
+        "part_complement_veto": _F(overlaps(
+            lower_arr(F.col("_p_sent")), ["complement", "complementary"],
+            lower=False)),
+    }
+
+
+def ce_v_max_lfs() -> dict[str, Column]:
+    """transistor_lfs.py:378-445 (voltage_lfs + CE keyword set)."""
+    row = F.col("_a_row")
+    al = _aligned("a_")
+    return {
+        "aligned_or_global": _T(aligned() | ~F.col("p_is_tabular")),
+        "same_table_must_align": _F(same_table() & ~aligned()),
+        "voltage_not_in_table": _F(~F.col("a_is_tabular")),
+        "low_table_num": _T(F.col("a_is_tabular")
+                            & (F.col("a_table_id") <= 2)),
+        "bad_keywords_in_row": _F(overlaps(
+            row, ["continuous", "cut-off", "gain", "breakdown"])),
+        "equals_in_row": _F(overlaps(row, ["="])),
+        "current_in_row": _F(overlaps(row, ["i", "ic", "ma"])),
+        "ce_keywords_in_row": _T(overlaps(
+            row, ["collector emitter", "collector-emitter",
+                  "collector - emitter"])),
+        "ce_abbrevs_in_row": _T(overlaps(row, ["ceo", "vceo"])),
+        "v_aligned": _T(F.array_contains(al, "V")),
+    }
+
+
+def gain_lfs() -> dict[str, Column]:
+    """Opamp gain LFs. The reference derives opamp marginals from dev-gold
+    membership (opamps.py:392-409); we instead vote with the same keyword
+    evidence its matcher uses (opamp_matchers.py:28-66), keeping the
+    pipeline fully self-supervised."""
+    row = F.col("_a_row")
+    return {
+        "gain_keywords_row": _T(overlaps(
+            row, ["product", "gain", "unity", "bandwidth", "gbp", "gbw",
+                  "gbwp"])),
+        "hertz_in_row": _T(overlaps(row, ["mhz", "khz"])),
+        "gain_filter_keywords": _F(overlaps(
+            row, ["-3 db", "maximum", "minimum", "impedance"])),
+        "first_page": _T(F.col("a_page") == 1),
+        "typ_aligned": _T(overlaps(_aligned("a_"), ["typ", "typical"])),
+    }
+
+
+def current_lfs() -> dict[str, Column]:
+    """Opamp supply-current LFs (evidence of opamp_matchers.py:72-99)."""
+    row = F.col("_a_row")
+    return {
+        "supply_keywords_row": _T(overlaps(
+            row, ["supply", "quiescent", "iq", "is", "idd", "icc"])),
+        "current_units_row": _T(overlaps(
+            row, ["ma", "μa", "ua", "µa", "a"])),
+        "current_filter_keywords": _F(overlaps(
+            row, ["offset", "bias", "logic", "shutdown"])),
+        "first_page": _T(F.col("a_page") == 1),
+        "slew_veto": _F(overlaps(row, ["slew"])),
+    }
+
+
+LF_SETS = {
+    "stg_temp_min": lambda: stg_temp_lfs("min"),
+    "stg_temp_max": lambda: stg_temp_lfs("max"),
+    "polarity": polarity_lfs,
+    "ce_v_max": ce_v_max_lfs,
+    "typ_gbp": gain_lfs,
+    "typ_supply_current": current_lfs,
+}
+
+
+def apply_lfs(cands_ctx: DataFrame, relation: str) -> DataFrame:
+    """Compute the LF vote array + aggregated marginal for one relation.
+
+    Output keeps the candidate columns plus ``lf_votes array<int>`` (fixed
+    LF order = sorted names, recorded in ``lf_names``) and ``prob``.
+    """
+    lfs = LF_SETS[relation]()
+    names = sorted(lfs)
+    votes = F.array(*[lfs[n].cast("int") for n in names]).alias("lf_votes")
+    out = cands_ctx.select(
+        *[c for c in cands_ctx.columns if not c.startswith("_")], votes
+    )
+    n_true = F.aggregate("lf_votes", F.lit(0),
+                         lambda acc, v: acc + F.when(v == TRUE, 1).otherwise(0))
+    n_false = F.aggregate("lf_votes", F.lit(0),
+                          lambda acc, v: acc + F.when(v == FALSE, 1).otherwise(0))
+    out = out.withColumn(
+        "prob",
+        (F.lit(1.0) + n_true) / (F.lit(2.0) + n_true + n_false),
+    ).withColumn("lf_names", F.array(*[F.lit(n) for n in names]))
+    return out

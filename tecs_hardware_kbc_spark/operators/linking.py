@@ -1,0 +1,155 @@
+"""Candidate -> entity conversion + entity linking (SURVEY A7/P8/J5).
+
+* ``doc_of_url`` — document identity = uppercased url stem (the Spark analog
+  of ``document.name.upper()``, ``transistor_utils.py:431``).
+* ``to_entities`` — dedup'd (doc, part, attribute, value, prob) tuples
+  (``candidates_to_entities``, ``transistor_utils.py:436-453``), keeping the
+  max marginal per entity.
+* ``widen_aliases`` — parts-by-doc implied-part expansion: a matched base
+  part (len >= 4) implies every doc-known part it prefixes
+  (``get_implied_parts``, ``transistor_utils.py:408-412``). Relational form:
+  a broadcast-able prefix theta-join against the per-doc part table — never
+  a shuffled theta join (the dictionary side is small).
+* ``resolve_unit`` + opamp entity conversion — the "grow the row spread
+  until exactly one unit is found" loop (``opamp_utils.py:115-213``, W2)
+  re-expressed as set algebra over pre-aggregated spread tables, plus ±
+  doubling (``opamp_utils.py:197-207``) and kHz/µA display rescale
+  (``opamps.py:39-49``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.context import lower_arr
+
+
+def doc_of_url(col=None) -> Column:
+    col = col if col is not None else F.col("url")
+    stem = F.element_at(F.split(col, "/"), -1)
+    return F.upper(F.regexp_replace(stem, r"\.html$", ""))
+
+
+def to_entities(scored: DataFrame, attribute: str) -> DataFrame:
+    """(doc, part, attribute, value, prob): dedup with max-prob per entity."""
+    return (
+        scored.select(
+            doc_of_url().alias("doc"),
+            F.upper("p_span").alias("part"),
+            F.lit(attribute).alias("attribute"),
+            F.col("a_span").alias("value"),
+            F.col("prob"),
+        )
+        .groupBy("doc", "part", "attribute", "value")
+        .agg(F.max("prob").alias("prob"))
+    )
+
+
+def widen_aliases(entities: DataFrame, parts_by_doc: DataFrame) -> DataFrame:
+    """Add implied entities: for each (doc, part) with len(part) >= 4, every
+    doc-known part that starts with it. ``parts_by_doc`` is (doc, part) —
+    small (one row per doc-part pair from the gold/gazetteer link), so the
+    prefix theta-join is broadcast."""
+    implied = (
+        entities.filter(F.length("part") >= 4)
+        .join(
+            F.broadcast(parts_by_doc.select("doc",
+                                            F.col("part").alias("known_part"))),
+            "doc",
+        )
+        .filter(F.col("known_part").startswith(F.col("part")))
+        .select("doc", F.col("known_part").alias("part"), "attribute",
+                "value", "prob")
+    )
+    return (
+        entities.unionByName(implied)
+        .groupBy("doc", "part", "attribute", "value")
+        .agg(F.max("prob").alias("prob"))
+    )
+
+
+def resolve_unit(df: DataFrame, unit_tokens: list[str], row_ngrams: DataFrame,
+                 row_spread2: DataFrame, row_spread5: DataFrame) -> DataFrame:
+    """Attach a ``unit`` column: the unique unit token in the value's row,
+    widening the spread (0 -> ±2 -> ±5) until exactly one is found — the
+    set-algebra form of the reference's growing-spread loop
+    (opamp_utils.py:150-157, LIMIT=8)."""
+    units = F.array(*[F.lit(u) for u in unit_tokens])
+
+    def uniq(grams_col):
+        found = F.array_intersect(lower_arr(grams_col), units)
+        return F.when(F.size(found) == 1, F.element_at(found, 1))
+
+    out = df
+    for tbl, name in ((row_ngrams, "_u0"), (row_spread2, "_u2"),
+                      (row_spread5, "_u5")):
+        rn = tbl.select(
+            "url", F.col("table_id").alias("a_table_id"),
+            F.col("row").alias("a_row"), F.col("grams").alias(f"{name}g"),
+        )
+        out = (
+            out.join(rn, ["url", "a_table_id", "a_row"], "left")
+            .withColumn(name, uniq(F.coalesce(F.col(f"{name}g"), F.array())))
+            .drop(f"{name}g")
+        )
+    return out.withColumn(
+        "unit", F.coalesce("_u0", "_u2", "_u5")
+    ).drop("_u0", "_u2", "_u5")
+
+
+def _fmt(mag: Column) -> Column:
+    """Render a magnitude the way the reference CSVs do: integral values
+    without a trailing .0 (opamps.py:47-49)."""
+    return F.when(
+        mag == F.floor(mag), mag.cast("bigint").cast("string")
+    ).otherwise(mag.cast("string"))
+
+
+def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
+                   row_spread2: DataFrame, row_spread5: DataFrame) -> DataFrame:
+    """Unary opamp candidates -> (doc, doc, attribute, value, prob) with
+    unit-resolved display magnitudes: gain in kHz, current in µA with ±
+    doubling (one entity for the literal, one for the doubled swing)."""
+    if attribute == "typ_gbp":
+        units = ["mhz", "khz"]
+    else:
+        units = ["ma", "μa", "ua", "µa", "a"]
+    df = resolve_unit(scored, units, row_ngrams, row_spread2, row_spread5)
+    df = df.filter(F.col("unit").isNotNull())
+
+    pm = F.col("a_span").startswith("±")
+    base = F.regexp_replace("a_span", "±", "").cast("double")
+    if attribute == "typ_gbp":
+        mag = F.when(F.col("unit") == "mhz", base * 1000.0).otherwise(base)
+        values = F.array(_fmt(mag))
+    else:
+        mag = F.when(F.col("unit") == "ma", base * 1000.0).otherwise(base)
+        values = F.when(pm, F.array(_fmt(mag), _fmt(mag * 2))) \
+                  .otherwise(F.array(_fmt(mag)))
+
+    return (
+        df.select(
+            doc_of_url().alias("doc"),
+            F.lit(attribute).alias("attribute"),
+            F.explode(values).alias("value"),
+            "prob",
+        )
+        .select("doc", F.col("doc").alias("part"), "attribute", "value", "prob")
+        .groupBy("doc", "part", "attribute", "value")
+        .agg(F.max("prob").alias("prob"))
+    )
+
+
+def entities_to_triples(entities: DataFrame) -> DataFrame:
+    """(subj, pred, obj, prob) — subject is ``doc#part`` for binary
+    relations and the doc itself for unary ones."""
+    subj = F.when(
+        F.col("doc") == F.col("part"), F.col("doc")
+    ).otherwise(F.concat_ws("#", "doc", "part"))
+    return entities.select(
+        subj.alias("subj"),
+        F.col("attribute").alias("pred"),
+        F.col("value").alias("obj"),
+        "prob",
+    ).dropDuplicates(["subj", "pred", "obj"])

@@ -1,0 +1,322 @@
+"""Mention detection (SURVEY P1-P8): ngram spaces × matchers -> mentions.
+
+Reference semantics (lukehsiao/tecs-hardware-kbc):
+
+* ngram spaces per type — ``MentionNgramsPart/Temp/Volt`` +
+  ``MentionNgramsCurrent`` (``transistor_spaces.py:166-327``,
+  ``opamp_spaces.py:10-60``) — here the gram space was precomputed at parse
+  time, so each space is an ``explode`` + JVM filter;
+* matchers — part EECA/JEDEC/JIS/house regexes + Digi-Key dictionary +
+  filename matcher (``transistor_matchers.py:80-108``), temp/polarity/
+  ce_v_max (``:55-135``), opamp gain/current (``opamp_matchers.py:27-110``);
+* normalizing expanders run as built-in regexp expressions (JVM); only
+  ``expand_part_range`` (difflib) runs as an Arrow-batched pandas UDF.
+
+All regexes are anchored (``^...$``): fonduer's ``RegexMatchSpan`` uses
+``re.match`` (prefix-anchored); full anchoring over an exhaustive ngram
+space accepts the same span set and is value-deterministic.
+
+Output schema (all types): ``url, position, mention_type, span`` (the
+normalized/display form used downstream), ``raw_span, implicit, wi, n,
+char_start, char_end, table_id, row, col, tag, page, is_tabular``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from tecs_hardware_kbc_spark.functions.expand import expand_part_range
+from tecs_hardware_kbc_spark.operators.context import lower_arr, overlaps
+
+# --- part naming regexes (transistor_matchers.py:82-95) -------------------
+EECA_RGX = (
+    r"[ABC][A-Z][WXYZ]?[0-9]{3,5}(?:[A-Z]){0,5}[0-9]?[A-Z]?"
+    r"(?:-[A-Z0-9]{1,7})?(?:[-][A-Z0-9]{1,2})?(?:/DG)?"
+)
+JEDEC_RGX = r"2N\d{3,4}[A-Z]{0,5}[0-9]?[A-Z]?"
+JIS_RGX = r"2S[ABCDEFGHJKMQRSTVZ]\d{2,4}"
+OTHERS_RGX = (
+    r"(?:NSVBC|SMBT|MJ|MJE|MPS|MRF|RCA|TIP|ZTX|ZT|ZXT|TIS|TIPL|DTC|MMBT"
+    r"|SMMBT|PZT|FZT|STD|BUV|PBSS|KSC|CXT|FCX|CMPT)\d{2,4}[A-Z]{0,5}"
+    r"(?:-[A-Z0-9]{0,6})?(?:[-][A-Z0-9]{0,1})?"
+)
+PART_RGX = f"^(?:{EECA_RGX}|{JEDEC_RGX}|{JIS_RGX}|{OTHERS_RGX})$"
+
+TEMP_MIN_RGX = r"^-[56][05]$"
+TEMP_MAX_RGX = r"^(?:1[5-9]|20)[05]$"
+POLARITY_RGX = r"^(?i)(?:NPN|PNP)$"
+CE_V_MAX_RGX = r"^\d{1,2}[05]$"
+GAIN_RGX = r"^(?:\d{1,2}\.\d{1,2}|\d{1,3})$"
+CURRENT_RGX = r"^(?:±?\d{1,2}\.\d{1,2}|±?\d{1,4})$"
+
+CE_KEYWORDS = ["collector emitter", "collector-emitter", "collector - emitter",
+               "ceo", "vceo"]
+HERTZ_UNITS = ["mhz", "khz"]
+GAIN_KEYWORDS = ["product", "gain", "unity", "bandwidth", "gbp", "gbw", "gbwp"]
+GAIN_FILTER_KEYWORDS = ["-3 db", "maximum", "minimum", "impedance"]
+CURRENT_UNITS = ["ma", "μa", "ua", "µa", "a"]
+CURRENT_KEYWORDS = ["supply", "quiescent", "iq", "is", "idd", "icc"]
+CURRENT_FILTER_KEYWORDS = ["offset", "bias", "logic", "shutdown"]
+
+_CTX_COLS = ["url", "position", "table_id", "row", "col", "tag", "page",
+             "is_tabular"]
+
+MENTION_COLS = ["url", "position", "mention_type", "span", "raw_span",
+                "implicit", "wi", "n", "char_start", "char_end", "table_id",
+                "row", "col", "tag", "page", "is_tabular"]
+
+
+def gram_space(sentences: DataFrame, n_min: int = 0, n_max: int = 3) -> DataFrame:
+    """Explode the precomputed gram space. ``n == 0`` = sub-token grams
+    (always included: they are unigrams of the re-split space)."""
+    g = sentences.select(*_CTX_COLS, F.explode("grams").alias("g"))
+    return (
+        g.filter((F.col("g.n") <= n_max) & ((F.col("g.n") >= n_min) | (F.col("g.n") == 0)))
+        .select(
+            *_CTX_COLS,
+            F.col("g.span").alias("raw_span"),
+            F.col("g.wi").alias("wi"),
+            F.col("g.n").alias("n"),
+            F.col("g.char_start").alias("char_start"),
+            F.col("g.char_end").alias("char_end"),
+        )
+    )
+
+
+def _finish(df: DataFrame, mention_type: str, span_col=None,
+            implicit=None) -> DataFrame:
+    span = span_col if span_col is not None else F.col("raw_span")
+    imp = implicit if implicit is not None else F.lit(False)
+    return df.select(
+        "url", "position", F.lit(mention_type).alias("mention_type"),
+        span.alias("span"), "raw_span", imp.alias("implicit"),
+        "wi", "n", "char_start", "char_end",
+        "table_id", "row", "col", "tag", "page", "is_tabular",
+    )
+
+
+# --------------------------------------------------------------------------
+# Part mentions (P2+P3+P4+P5 union, then P6 range expansion + P8 widening)
+# --------------------------------------------------------------------------
+
+_expand_parts_udf = F.pandas_udf(
+    lambda s: s.map(lambda x: [p.upper() for p in expand_part_range(x)]),
+    T.ArrayType(T.StringType()),
+)
+
+
+def part_mentions(sentences: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Part-number mentions: (regex ∪ dictionary ∪ filename) matchers over
+    1..3-grams, then range/suffix expansion into implicit spans.
+
+    The dictionary match is a broadcast semi-join (the Digi-Key analog is
+    ~10k rows — transistor_matchers.py:21-31). The filename matcher uses
+    ``levenshtein(span, doc_stem) <= 2`` as the structural analog of the
+    reference's common-prefix-length test (transistor_matchers.py:34-52).
+    """
+    grams = gram_space(sentences, n_min=1, n_max=3)
+    up = F.upper(F.col("raw_span"))
+
+    # Expansion runs BEFORE matching (MentionNgramsPart.apply expands every
+    # ngram, then the matcher filters the expanded spans). To keep the pandas
+    # UDF off the vast majority of grams, only spans containing at least one
+    # part-shaped token are expanded — expansion of anything else can never
+    # produce a matcher hit.
+    part_token_anywhere = PART_RGX.removeprefix("^(?:").removesuffix(")$")
+    candidates = grams.filter(
+        F.regexp_like(up, F.lit(f"(?:{part_token_anywhere})"))
+        | F.regexp_like(up, F.lit(r"^[A-Z0-9\-]{5,15}$"))
+    )
+    expanded = candidates.withColumn("parts", _expand_parts_udf(F.col("raw_span")))
+    exploded = expanded.select(
+        *(c for c in expanded.columns if c != "parts"),
+        F.explode("parts").alias("part_span"),
+    ).filter(~F.col("part_span").contains(" "))
+
+    ps = F.col("part_span")
+    dict_parts = gazetteer.select(F.upper("part").alias("dict_part")).distinct()
+    in_dict = exploded.join(
+        F.broadcast(dict_parts), ps == F.col("dict_part"), "left_semi"
+    )
+    doc_stem = F.upper(F.regexp_replace(F.element_at(F.split(F.col("url"), "/"), -1),
+                                        r"\.html$", ""))
+    by_rgx = exploded.filter(F.regexp_like(ps, F.lit(PART_RGX)))
+    by_name = exploded.filter(
+        F.regexp_like(ps, F.lit(r"^[A-Z0-9\-]{5,15}$"))
+        & F.regexp_like(ps, F.lit(r"[0-9]"))
+        & F.regexp_like(ps, F.lit(r"[A-Z]"))
+        & (F.levenshtein(ps, doc_stem) <= 2)
+    )
+    matched = by_rgx.unionByName(in_dict).unionByName(by_name).dropDuplicates(
+        ["url", "position", "wi", "n", "char_start", "char_end", "part_span"]
+    )
+    return _finish(
+        matched, "part",
+        span_col=F.col("part_span"),
+        implicit=F.col("part_span") != F.upper(F.col("raw_span")),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature / voltage mentions (normalizers run as JVM regexp expressions)
+# --------------------------------------------------------------------------
+
+_TEMP_NORM_RGX = r"^([+\-‐‑‒–—−])?(\s*)(\d+)$"
+
+
+def _normalize_temp(col):
+    """JVM port of normalize_temp_span (transistor_spaces.py:229-285)."""
+    sign = F.regexp_extract(col, _TEMP_NORM_RGX, 1)
+    gap = F.regexp_extract(col, _TEMP_NORM_RGX, 2)
+    digits = F.regexp_extract(col, _TEMP_NORM_RGX, 3)
+    return (
+        F.when(~F.regexp_like(col, F.lit(_TEMP_NORM_RGX)), col)
+        .when(sign == "", digits)
+        .when((sign == "+") & (gap != ""), F.lit(None))  # drop '+ 150' bigram
+        .when(sign == "+", digits)
+        .otherwise(F.concat(F.lit("-"), digits))
+    )
+
+
+def temp_mentions(sentences: DataFrame, kind: str) -> DataFrame:
+    """stg_temp_min / stg_temp_max mentions (transistor_matchers.py:70-78)."""
+    rgx = TEMP_MIN_RGX if kind == "min" else TEMP_MAX_RGX
+    grams = gram_space(sentences, n_min=1, n_max=2)
+    norm = (
+        grams.withColumn("norm", _normalize_temp(F.col("raw_span")))
+        .filter(F.col("norm").isNotNull())
+        .filter(F.regexp_like(F.col("norm"), F.lit(rgx)))
+    )
+    return _finish(
+        norm, f"stg_temp_{kind}",
+        span_col=F.col("norm"), implicit=F.col("norm") != F.col("raw_span"),
+    )
+
+
+def polarity_mentions(sentences: DataFrame) -> DataFrame:
+    """NPN/PNP unigrams not in a 'complementary' sentence
+    (transistor_matchers.py:55-67)."""
+    grams = gram_space(sentences, n_min=1, n_max=1)
+    sent_words = sentences.select(
+        "url", "position", lower_arr(F.col("words")).alias("sent_words_l")
+    )
+    m = (
+        grams.filter(F.regexp_like(F.col("raw_span"), F.lit(POLARITY_RGX)))
+        .join(sent_words, ["url", "position"])
+        .filter(~overlaps(F.col("sent_words_l"), ["complement", "complementary"],
+                          lower=False))
+        .drop("sent_words_l")
+    )
+    return _finish(m, "polarity", span_col=F.upper(F.col("raw_span")),
+                   implicit=F.upper(F.col("raw_span")) != F.col("raw_span"))
+
+
+def ce_v_max_mentions(sentences: DataFrame, row_ngrams: DataFrame) -> DataFrame:
+    """Collector-emitter voltage mentions: value regex + CE keywords in the
+    row + in-table + no vcb/base in the sentence
+    (transistor_matchers.py:111-135)."""
+    grams = gram_space(sentences, n_min=1, n_max=1)
+    sent_text = sentences.select("url", "position",
+                                 F.lower("text").alias("_sent_text_l"))
+    m = (
+        grams.filter(F.col("is_tabular"))
+        .filter(F.regexp_like(F.col("raw_span"), F.lit(CE_V_MAX_RGX)))
+        .join(row_ngrams, ["url", "table_id", "row"])
+        .filter(overlaps(F.col("grams"), CE_KEYWORDS))
+        .join(sent_text, ["url", "position"])
+        .filter(~F.col("_sent_text_l").contains("vcb")
+                & ~F.col("_sent_text_l").contains("base"))
+        .drop("grams", "_sent_text_l")
+    )
+    return _finish(m, "ce_v_max")
+
+
+# --------------------------------------------------------------------------
+# Opamp gain / supply-current mentions (opamp_matchers.py:27-110)
+# --------------------------------------------------------------------------
+
+
+def _right_words(sentences: DataFrame):
+    """words to the right of a gram within its sentence (fonduer
+    get_right_ngrams window analog), as a lowercase array column; requires
+    join to the sentence row."""
+    return sentences.select("url", "position",
+                            lower_arr(F.col("words")).alias("_words_l"))
+
+
+def _with_row_spread(df: DataFrame, row_spread: DataFrame, alias: str) -> DataFrame:
+    """Join a mention frame to a precomputed spread row-ngram table."""
+    rn = row_spread.select(
+        "url", "table_id", "row", F.col("grams").alias(alias)
+    )
+    return df.join(rn, ["url", "table_id", "row"], "left").withColumn(
+        alias, F.coalesce(F.col(alias), F.array())
+    )
+
+
+def gain_mentions(sentences: DataFrame, row_ngrams: DataFrame,
+                  row_spread2: DataFrame, col_ngrams: DataFrame) -> DataFrame:
+    grams = gram_space(sentences, n_min=1, n_max=1)
+    words = _right_words(sentences)
+    m = (
+        grams.filter(F.regexp_like(F.col("raw_span"), F.lit(GAIN_RGX)))
+        .filter(F.trim(F.col("raw_span")) != "0")
+        .filter((F.col("page") == 1) | F.col("is_tabular"))
+    )
+    m = _with_row_spread(m, row_ngrams, "_row0")
+    m = _with_row_spread(m, row_spread2, "_row2")
+    coln = col_ngrams.select("url", "table_id", "col",
+                             F.col("grams").alias("_colg"))
+    m = m.join(coln, ["url", "table_id", "col"], "left").withColumn(
+        "_colg", F.coalesce(F.col("_colg"), F.array()))
+    m = m.join(words, ["url", "position"])
+    right = F.slice(F.col("_words_l"), F.col("wi") + F.col("n") + 1, F.lit(10))
+    related = F.concat(right, lower_arr(F.col("_row2")))
+    cell = lower_arr(F.col("_row0"))  # cell grams ⊆ row grams; veto superset
+    m = (
+        m.filter(~(F.array_contains(cell, "f") & F.array_contains(cell, "=")))
+        .filter(~overlaps(F.col("_row0"), GAIN_FILTER_KEYWORDS))
+        .filter(~overlaps(F.col("_colg"), ["condition", "conditions"]))
+        .filter(overlaps(related, HERTZ_UNITS, lower=False)
+                & overlaps(related, GAIN_KEYWORDS, lower=False))
+        .drop("_row0", "_row2", "_colg", "_words_l")
+    )
+    return _finish(m, "gain")
+
+
+def current_mentions(sentences: DataFrame, row_ngrams: DataFrame,
+                     row_spread5: DataFrame, col_ngrams: DataFrame) -> DataFrame:
+    grams = gram_space(sentences, n_min=1, n_max=2)
+    norm = F.when(
+        F.regexp_like(F.col("raw_span"), F.lit(r"^±?\s*\d+\s*\.?\s*\d*$")),
+        F.regexp_replace(F.col("raw_span"), r"\s+", ""),
+    ).otherwise(F.col("raw_span"))
+    words = _right_words(sentences)
+    m = (
+        grams.withColumn("norm", norm)
+        .filter(F.regexp_like(F.col("norm"), F.lit(CURRENT_RGX)))
+        .filter(F.trim(F.col("norm")) != "0")
+        .filter((F.col("page") == 1) | F.col("is_tabular"))
+    )
+    m = _with_row_spread(m, row_ngrams, "_row0")
+    m = _with_row_spread(m, row_spread5, "_row5")
+    coln = col_ngrams.select("url", "table_id", "col",
+                             F.col("grams").alias("_colg"))
+    m = m.join(coln, ["url", "table_id", "col"], "left").withColumn(
+        "_colg", F.coalesce(F.col("_colg"), F.array()))
+    m = m.join(words, ["url", "position"])
+    right = F.slice(F.col("_words_l"), F.col("wi") + F.col("n") + 1, F.lit(10))
+    related = F.concat(right, lower_arr(F.col("_row5")))
+    m = (
+        m.filter(~overlaps(F.col("_row0"), CURRENT_FILTER_KEYWORDS))
+        .filter(~overlaps(F.col("_colg"), ["condition", "conditions"]))
+        .filter(overlaps(related, CURRENT_UNITS, lower=False)
+                & overlaps(related, CURRENT_KEYWORDS, lower=False))
+        .drop("_row0", "_row5", "_colg", "_words_l")
+    )
+    return _finish(m, "current", span_col=F.col("norm"),
+                   implicit=F.col("norm") != F.col("raw_span"))

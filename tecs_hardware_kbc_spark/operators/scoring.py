@@ -1,0 +1,111 @@
+"""Entity-level scoring + one-pass threshold sweep (SURVEY J4/A6/A8).
+
+* ``confusion`` — TP/FP/FN entity sets via semi/anti joins
+  (``entity_confusion_matrix``, ``transistor_utils.py:174-184``); joins (not
+  ``intersect``/``except``) so AQE keeps working.
+* ``entity_scores`` — P/R/F1 with NaN guards
+  (``entity_level_scores``, ``transistor_utils.py:396-405``).
+* ``threshold_sweep`` — the reference sweeps b ∈ linspace(0,1,100) in a
+  Python loop re-scoring the corpus each time (``transistors.py:84-125``).
+  Here ALL 100 thresholds are scored in ONE aggregation: bucket each entity
+  by the largest grid index it still clears, partial-aggregate per bucket,
+  then a reverse running sum over the 100-row grid. O(|entities|) work, one
+  shuffle, instead of 100 passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+ENTITY_KEY = ["doc", "part", "attribute", "value"]
+
+
+def confusion(pred: DataFrame, gold: DataFrame) -> dict[str, DataFrame]:
+    pred = pred.select(*ENTITY_KEY).dropDuplicates()
+    gold = gold.select(*ENTITY_KEY).dropDuplicates()
+    return {
+        "tp": pred.join(gold, ENTITY_KEY, "left_semi"),
+        "fp": pred.join(gold, ENTITY_KEY, "left_anti"),
+        "fn": gold.join(pred, ENTITY_KEY, "left_anti"),
+    }
+
+
+def entity_scores(pred: DataFrame, gold: DataFrame) -> dict[str, float]:
+    c = confusion(pred, gold)
+    tp, fp, fn = (c["tp"].count(), c["fp"].count(), c["fn"].count())
+    prec = tp / (tp + fp) if tp + fp else float("nan")
+    rec = tp / (tp + fn) if tp + fn else float("nan")
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else float("nan")
+    return {"tp": tp, "fp": fp, "fn": fn, "precision": prec, "recall": rec,
+            "f1": f1}
+
+
+def threshold_sweep(entities: DataFrame, gold: DataFrame,
+                    grid: int = 100) -> DataFrame:
+    """Score every threshold b_k = k/(grid-1) in one pass.
+
+    Input: entities with ``prob``; output: one row per k with
+    (b, tp, fp, fn, precision, recall, f1), ready for ``best_threshold``.
+    An entity is predicted at b iff prob > b (strict, as in
+    ``transistors.py:96``).
+    """
+    g = float(grid - 1)
+    ent = (
+        entities.groupBy(*ENTITY_KEY).agg(F.max("prob").alias("prob"))
+        .join(gold.select(*ENTITY_KEY).dropDuplicates()
+              .withColumn("_gold", F.lit(1)), ENTITY_KEY, "left")
+        .withColumn("_gold", F.coalesce("_gold", F.lit(0)))
+    )
+    # largest grid index k with k/g < prob  ==  ceil(prob*g) - 1
+    bucket = (F.ceil(F.col("prob") * g) - 1).cast("int")
+    per_bucket = (
+        ent.withColumn("k_max", F.least(bucket, F.lit(grid - 1)))
+        .filter(F.col("k_max") >= 0)
+        .groupBy("k_max")
+        .agg(
+            F.sum("_gold").alias("tp_at"),
+            F.sum(1 - F.col("_gold")).alias("fp_at"),
+        )
+    )
+    spark = entities.sparkSession
+    ks = spark.range(grid).select(F.col("id").cast("int").alias("k"))
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    gold_total = gold.select(*ENTITY_KEY).dropDuplicates().count()
+    swept = (
+        ks.join(per_bucket, ks["k"] == per_bucket["k_max"], "left")
+        .select("k", F.coalesce("tp_at", F.lit(0)).alias("tp_at"),
+                F.coalesce("fp_at", F.lit(0)).alias("fp_at"))
+        .withColumn("tp", F.sum("tp_at").over(w))
+        .withColumn("fp", F.sum("fp_at").over(w))
+        .withColumn("fn", F.lit(gold_total) - F.col("tp"))
+        .withColumn("b", F.col("k") / g)
+        .withColumn("precision", F.when(F.col("tp") + F.col("fp") > 0,
+                                        F.col("tp") / (F.col("tp") + F.col("fp"))))
+        .withColumn("recall", F.when(F.col("tp") + F.col("fn") > 0,
+                                     F.col("tp") / (F.col("tp") + F.col("fn"))))
+        .withColumn(
+            "f1",
+            F.when(F.col("precision") + F.col("recall") > 0,
+                   2 * F.col("precision") * F.col("recall")
+                   / (F.col("precision") + F.col("recall"))),
+        )
+        .select("b", "tp", "fp", "fn", "precision", "recall", "f1")
+    )
+    return swept
+
+
+def best_threshold(swept: DataFrame) -> dict:
+    """argmax_b F1, first (smallest b) on ties — matches the reference's
+    ascending scan keeping strict improvements (transistors.py:105-107)."""
+    row = (
+        swept.filter(F.col("f1").isNotNull())
+        .orderBy(F.desc("f1"), F.asc("b"))
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return {"b": 0.0, "f1": float("nan"), "precision": float("nan"),
+                "recall": float("nan"), "tp": 0, "fp": 0, "fn": 0}
+    return row[0].asDict()

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The settings below are the ones that matter at 100 TB and cost nothing at
+test scale:
+
+* AQE on (runtime coalescing + skew-join splitting for hot crawl domains),
+* Arrow on (every Python kernel in this engine is a pandas UDF),
+* a bounded Arrow batch size so a batch of large ``html`` blobs cannot blow
+  up executor memory during the parse UDF,
+* shuffle partitions sized from the env (the real cluster overrides this
+  with ``spark.sql.shuffle.partitions`` ~= 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "tecs-hardware-kbc-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the KBC pipeline."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html blobs are KBs-to-MBs each; cap Arrow batches so the parse UDF
+        # stays memory-bounded regardless of row width.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
