@@ -194,7 +194,20 @@ def _gram_space(text: str, words: list[str]) -> list[dict]:
                 {"span": sub, "wi": i, "n": 0,
                  "char_start": sub_start, "char_end": sub_start + len(sub) - 1}
             )
+        # punctuation-stripped variant (whitespace tokenization keeps
+        # trailing '.', ',' etc. that a lingual tokenizer would split off)
+        stripped = w.strip(_PUNCT)
+        if stripped and stripped != w:
+            s_start = offsets[i] + w.index(stripped)
+            grams.append(
+                {"span": stripped, "wi": i, "n": 0,
+                 "char_start": s_start,
+                 "char_end": s_start + len(stripped) - 1}
+            )
     return grams
+
+
+_PUNCT = ".,;:!?()[]{}\"'"
 
 
 def extract_text(html: bytes | str) -> str:

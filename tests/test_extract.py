@@ -1,0 +1,85 @@
+"""Parse + byte-identical extraction invariant (BASELINE.json input_hint)."""
+
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.extract import (
+    check_extraction_invariant,
+    extract_text,
+    parse_html,
+    parse_pages,
+)
+
+HTML = b"""<html><head><title>BC546 Datasheet</title></head><body>
+<h1>BC546 NPN Silicon Transistor</h1>
+<p>BC546 thru BC548 are NPN transistors. They switch fast.</p>
+<table>
+<tr><th>Parameter</th><th>Symbol</th><th>BC546</th><th>Unit</th></tr>
+<tr><td>Storage Temperature</td><td>Tstg</td><td>-55 to 150</td><td>\xc2\xb0C</td></tr>
+</table>
+<script>ignore_me();</script>
+</body></html>"""
+
+
+def test_structure():
+    sents = parse_html(HTML)
+    texts = [s["text"] for s in sents]
+    assert texts[0] == "BC546 Datasheet"
+    assert texts[1] == "BC546 NPN Silicon Transistor"
+    # prose split into two sentences
+    assert "BC546 thru BC548 are NPN transistors." in texts
+    assert "They switch fast." in texts
+    assert "ignore_me();" not in " ".join(texts)
+    # table coords
+    cell = next(s for s in sents if s["text"] == "-55 to 150")
+    assert (cell["table_id"], cell["row"], cell["col"]) == (0, 1, 2)
+    assert cell["is_tabular"]
+    header = next(s for s in sents if s["text"] == "Symbol")
+    assert (header["row"], header["col"]) == (0, 1)
+    h1 = next(s for s in sents if s["tag"] == "h1")
+    assert not h1["is_tabular"] and h1["page"] == 1
+
+
+def test_gram_space_offsets():
+    sents = parse_html(HTML)
+    cell = next(s for s in sents if s["text"] == "-55 to 150")
+    spans = {g["span"] for g in cell["grams"]}
+    assert {"-55", "to", "150", "-55 to", "to 150", "-55 to 150", "55"} <= spans
+    for g in cell["grams"]:
+        assert cell["text"][g["char_start"]: g["char_end"] + 1] == g["span"]
+
+
+def test_subtoken_grams():
+    sents = parse_html(b"<p>BC337-16/BC338-16 works</p>")
+    spans = {g["span"] for g in sents[0]["grams"]}
+    assert {"BC337-16/BC338-16", "BC337", "16", "BC338"} <= spans
+
+
+def test_extract_text_deterministic():
+    assert extract_text(HTML) == extract_text(HTML)
+    assert extract_text(HTML).split("\n")[0] == "BC546 Datasheet"
+
+
+def test_invariant_on_corpus(spark, tiny_tables):
+    violations = check_extraction_invariant(tiny_tables["pages"])
+    assert violations.count() == 0
+
+
+def test_parse_pages_distributed(spark, tiny_tables):
+    sents = parse_pages(tiny_tables["pages"])
+    assert sents.count() > 0
+    # reconstructing text from sentences == stored text, per url (the same
+    # invariant, asserted through the distributed path)
+    rebuilt = sents.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("position", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("t")
+    )
+    joined = rebuilt.join(
+        tiny_tables["pages"].select("url", "text").dropDuplicates(["url"]),
+        "url",
+    )
+    assert joined.filter(F.col("t") != F.col("text")).count() == 0

@@ -1,0 +1,77 @@
+"""Golden end-to-end: planted gold must be recovered at P/R >= 0.95
+(BASELINE.json metric), plus checkpoint/resume semantics."""
+
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from tecs_hardware_kbc_spark.corpus import write_corpus
+from tecs_hardware_kbc_spark.pipeline import (
+    ALL_RELATIONS,
+    ingest,
+    run_kbc,
+    run_kbc_checkpointed,
+)
+
+
+@pytest.fixture(scope="module")
+def result(spark, tiny_tables):
+    return run_kbc(spark, tiny_tables["pages"], tiny_tables["gaz"],
+                   tiny_tables["gold"])
+
+
+def test_all_relations_scored(result):
+    assert set(result.scores) == set(ALL_RELATIONS)
+
+
+def test_precision_recall_gate(result):
+    agg_tp = sum(s["tp"] for s in result.scores.values())
+    agg_fp = sum(s["fp"] for s in result.scores.values())
+    agg_fn = sum(s["fn"] for s in result.scores.values())
+    precision = agg_tp / (agg_tp + agg_fp)
+    recall = agg_tp / (agg_tp + agg_fn)
+    assert precision >= 0.95, result.scores
+    assert recall >= 0.95, result.scores
+    for rel, s in result.scores.items():
+        assert s["precision"] >= 0.9, (rel, s)
+
+
+def test_triples_shape(result):
+    triples = result.triples
+    assert triples.columns == ["subj", "pred", "obj", "prob"]
+    assert triples.count() > 0
+    # dedup'd by (subj, pred, obj)
+    assert triples.count() == triples.dropDuplicates(
+        ["subj", "pred", "obj"]).count()
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert preds <= set(ALL_RELATIONS)
+
+
+def test_ingest_dedups_recrawls(spark, tiny_tables):
+    pages = tiny_tables["pages"]
+    clean = ingest(pages)
+    assert clean.count() == clean.select("url").distinct().count()
+    assert clean.filter(F.col("lang") != "en").count() == 0
+    # keeps the LATEST warc_ts per url
+    latest = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+    assert clean.join(latest, ["url", "warc_ts"], "left_anti").count() == 0
+
+
+def test_checkpoint_resume(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("kbc"))
+    write_corpus(spark, f"{base}/corpus", n_pages=12, seed=5)
+    args = (f"{base}/corpus/pages.parquet", f"{base}/corpus/gazetteer.parquet",
+            f"{base}/out")
+    r1 = run_kbc_checkpointed(spark, *args,
+                              gold_path=f"{base}/corpus/gold.parquet")
+    n1 = r1.triples.count()
+    r2 = run_kbc_checkpointed(spark, *args,
+                              gold_path=f"{base}/corpus/gold.parquet")
+    assert r2.triples.count() == n1
+    metrics = json.load(open(f"{base}/out/metrics.json"))
+    assert all(s.get("skipped") for s in metrics["stages"])
+    # triples written partitioned by predicate
+    import os
+    parts = os.listdir(f"{base}/out/triples")
+    assert any(p.startswith("pred=") for p in parts)
