@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data ops), each runnable on the driver's
+parquet tables at ``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. Column names and float rounding are aligned on both sides (the driver
+hashes values after sorting columns by name).
+
+KBC-pipeline entries (kbc_*) run on the repo's deterministic synthetic page
+corpus (no SQL oracle — the driver records the weaker rows-only check; the
+pytest suite holds the strong P/R >= 0.95 gate for those).
 """
 
 from __future__ import annotations
@@ -12,27 +16,563 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.3-2.7): joins, aggs, windows, sorts, set ops
+# --------------------------------------------------------------------------
+
+@_q("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q("q3_top_orders", """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, orderdate
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+""")
+def q3(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey",
+                 F.date_format("o_orderdate", TS_FMT_SPARK).alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q("q_region_customers", """
+SELECT r.r_name AS region, count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def q_region_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("total_balance"))
+    )
+
+
+@_q("q_anti_join", """
+SELECT c.c_mktsegment AS segment, count(*) AS n_customers_without_orders
+FROM customer c ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""")
+def q_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@_q("q_semi_join", """
+SELECT s.s_name, round(s.s_acctbal, 2) AS acctbal
+FROM supplier s SEMI JOIN
+  (SELECT l_suppkey FROM lineitem WHERE l_quantity > 45) l
+  ON s.s_suppkey = l.l_suppkey
+ORDER BY s.s_name
+""")
+def q_semi_join(spark, sf):
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"], "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+@_q("q_window_topk", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+""")
+def q_window_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@_q("q_window_running", """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+""")
+def q_window_running(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@_q("q_set_ops", """
+SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = 'URGENT'
+""")
+def q_set_ops(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    rich = c.filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "URGENT") \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    return rich.intersect(urgent)
+
+
+@_q("q_threshold_sweep", """
+SELECT k,
+       count(*) FILTER (WHERE l_discount > k / 99.0) AS n,
+       round(coalesce(sum(l_extendedprice * (1 - l_discount))
+             FILTER (WHERE l_discount > k / 99.0), 0), 2) AS revenue
+FROM range(100) t(k) CROSS JOIN lineitem
+GROUP BY k
+""")
+def q_threshold_sweep(spark, sf):
+    """A6 one-pass sweep: bucket by the largest grid index cleared, then a
+    reverse running sum over the 100-row grid — O(n) + O(grid), vs the
+    oracle's literal 100x cross join."""
+    li = _t(spark, sf, "lineitem")
+    bucket = (F.ceil(F.col("l_discount") * 99) - 1).cast("long")
+    per = (
+        li.withColumn("j", F.least(bucket, F.lit(99)))
+        .filter(F.col("j") >= 0)
+        .groupBy("j")
+        .agg(F.count("*").alias("n_at"),
+             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("rev_at"))
+    )
+    ks = spark.range(100).select(F.col("id").cast("long").alias("k"))
+    w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ks.join(per, ks["k"] == per["j"], "left")
+        .select("k", F.coalesce("n_at", F.lit(0)).alias("n_at"),
+                F.coalesce("rev_at", F.lit(0.0)).alias("rev_at"))
+        .withColumn("n", F.sum("n_at").over(w))
+        .withColumn("revenue", F.round(F.sum("rev_at").over(w), 2))
+        .select("k", "n", "revenue")
+    )
+
+
+@_q("q_asof_join", f"""
+SELECT p.event_id,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       p.user_id,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_asof_join(spark, sf):
+    """J6 reading-order as-of match, scalably: one window over the tagged
+    union instead of a per-row backward search."""
+    e = _t(spark, sf, "events")
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("marker"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "marker")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        tagged.withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter((F.col("marker") == 1) & F.col("last_click").isNotNull())
+        .select(
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+            "user_id",
+            F.date_format("last_click", TS_FMT_SPARK).alias("last_click_ts"),
+        )
+    )
+
+
+@_q("q_events_windowed", f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour,
+       event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY hour, event_type
+""")
+def q_events_windowed(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("hour"),
+            "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@_q("q_events_json", """
+SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events GROUP BY event_type
+""")
+def q_events_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4)
+             .alias("avg_k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data ops) on documents
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@_q("doc_token_stats", f"""
+SELECT doc_id,
+       len({_WORDS_SQL}) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_tokens,
+       length(text) AS n_chars,
+       round(length(text)::double / greatest(len({_WORDS_SQL}), 1), 4)
+         AS chars_per_word,
+       len(list_distinct({_WORDS_SQL})) AS n_unique_words
+FROM documents
+""")
+def doc_token_stats(spark, sf):
+    from tecs_hardware_kbc_spark.operators.textstats import token_stats
+    d = _t(spark, sf, "documents")
+    out = token_stats(d)
+    return out.withColumn("chars_per_word", F.round("chars_per_word", 4))
+
+
+def _stopword_ratio_sql(lang_words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return (f"len(list_filter({_WORDS_SQL}, x -> x IN ({inlist})))::double"
+            f" / greatest(len({_WORDS_SQL}), 1)")
+
+
+def _lang_sql() -> str:
+    from tecs_hardware_kbc_spark.operators.textstats import STOPWORDS
+    s = {lang: _stopword_ratio_sql(ws) for lang, ws in STOPWORDS.items()}
+    return f"""
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+       WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred,
+  round(greatest(s_de, s_en, s_fr), 4) AS lang_score
+FROM (SELECT doc_id, {s['de']} AS s_de, {s['en']} AS s_en, {s['fr']} AS s_fr
+      FROM documents)
+"""
+
+
+@_q("doc_lang_id", _lang_sql())
+def doc_lang_id(spark, sf):
+    from tecs_hardware_kbc_spark.operators.textstats import language_id
+    d = _t(spark, sf, "documents")
+    return language_id(d).withColumn("lang_score", F.round("lang_score", 4))
+
+
+@_q("doc_quality", f"""
+SELECT doc_id,
+  round(least(length(text) / 500.0, 1.0), 6) AS len_score,
+  round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(least(({_stopword_ratio_sql(['the','and','of','to','is','in','for','are','with','a'])}) * 5, 1.0), 6)
+    AS stopword_score,
+  CASE WHEN length(text)::double / greatest(len({_WORDS_SQL}), 1)
+            BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS word_len_score,
+  round((least(length(text) / 500.0, 1.0)
+         + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+           / greatest(length(text), 1)
+         + least(({_stopword_ratio_sql(['the','and','of','to','is','in','for','are','with','a'])}) * 5, 1.0)
+         + CASE WHEN length(text)::double / greatest(len({_WORDS_SQL}), 1)
+                BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) / 4.0, 6) AS quality
+FROM documents
+""")
+def doc_quality(spark, sf):
+    from tecs_hardware_kbc_spark.operators.textstats import quality_score
+    return quality_score(_t(spark, sf, "documents"))
+
+
+@_q("dedup_exact", f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents)
+SELECT fp.doc_id, c.canonical_id, fp.fingerprint
+FROM fp JOIN (SELECT fingerprint, min(doc_id) AS canonical_id
+              FROM fp GROUP BY fingerprint) c USING (fingerprint)
+""")
+def dedup_exact(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import exact_duplicates
+    return exact_duplicates(_t(spark, sf, "documents")) \
+        .select("doc_id", "canonical_id", "fingerprint")
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    hashes = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::ubigint::bigint) AS m{i}"
+        for i in range(num_hashes))
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+       FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i))
+SELECT doc_id, {hashes} FROM sh GROUP BY doc_id
+"""
+
+
+@_q("dedup_minhash_sig", _minhash_sql(4))
+def dedup_minhash_sig(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import (minhash_signatures,
+                                                         word_shingles)
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(word_shingles(d), num_hashes=4)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"m{i}") for i in range(4)])
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    recomb = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)"
+                        for b in range(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::ubigint::bigint AS h
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM documents)),
+agg AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, ({recomb})::bigint AS simhash FROM agg
+"""
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import simhash
+    return simhash(_t(spark, sf, "documents"))
+
+
+@_q("dedup_ngram_jaccard", f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+       FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+shr AS (SELECT sh.* FROM sh SEMI JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM shr x JOIN shr y USING (shingle) WHERE x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, round(inter::double / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+JOIN sizes sb ON inter.b = sb.doc_id
+WHERE inter::double / (sa.n_sh + sb.n_sh - inter) >= 0.1
+""")
+def dedup_ngram_jaccard(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.1)
+    return out.withColumn("jaccard", F.round("jaccard", 4))
+
+
+@_q("sim_topk", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rnk FROM (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(qv, cv) AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     c.vec_id) AS rnk
+  FROM q CROSS JOIN c WHERE q.query_id != c.vec_id)
+WHERE rnk <= 5
+""")
+def sim_topk(spark, sf):
+    from tecs_hardware_kbc_spark.operators.similarity import cosine_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"),
+                      F.col("rank").alias("rnk"))
+
+
+@_q("emb_near_dup", """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.3
+""")
+def emb_near_dup(spark, sf):
+    from tecs_hardware_kbc_spark.operators.similarity import cosine_pairs
+    out = cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+# --------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible: full KBC pipeline, LSH ANN,
+# multimodal plumbing) — the driver records the weaker check; pytest holds
+# the strong gates.
+# --------------------------------------------------------------------------
+
+def _synthetic_corpus(spark, n_pages: int = 60):
+    from tecs_hardware_kbc_spark.corpus import (corpus_to_dataframes,
+                                                generate_corpus)
+    return corpus_to_dataframes(spark, generate_corpus(n_pages, seed=42))
+
+
+@_q("kbc_triples")
+def kbc_triples(spark, sf):
+    from tecs_hardware_kbc_spark.pipeline import run_kbc
+    pages, gold, gaz = _synthetic_corpus(spark)
+    return run_kbc(spark, pages, gaz, gold).triples
+
+
+@_q("kbc_sentences")
+def kbc_sentences(spark, sf):
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    pages, _, _ = _synthetic_corpus(spark)
+    s = parse_pages(pages).drop("grams")
+    return s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
+
+
+@_q("kbc_extract_invariant")
+def kbc_extract_invariant(spark, sf):
+    """One row per url with ok=true iff re-extracted text == stored text
+    (must be all-true; violations would also fail pytest)."""
+    from tecs_hardware_kbc_spark.operators.extract import extract_text
+    import pyspark.sql.types as T
+    pages, _, _ = _synthetic_corpus(spark)
+    udf = F.pandas_udf(lambda s: s.map(extract_text), T.StringType())
+    return pages.select(
+        "url", (udf(F.col("html")) == F.col("text")).alias("ok"))
+
+
+@_q("sim_lsh_topk")
+def sim_lsh_topk(spark, sf):
+    from tecs_hardware_kbc_spark.operators.similarity import lsh_topk
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_topk(emb, queries, k=5)
+
+
+@_q("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import minhash_near_duplicates
+    return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
+
+
+@_q("media_features")
+def media_features(spark, sf):
+    """Multimodal plumbing: binary media column (deterministically derived
+    from the documents table) -> Arrow-batched feature extraction."""
+    from tecs_hardware_kbc_spark.operators.multimodal import (
+        extract_media_features, size_filter)
+    d = _t(spark, sf, "documents").limit(200)
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.lit(None).cast("string").alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, "video").otherwise("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return size_filter(extract_media_features(media))
+
+
+# --------------------------------------------------------------------------
+# Driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KBC pipeline (pages -> triples) on the synthetic
+    corpus, plus exact-dedup triples over the sf0.001 documents table."""
+    from tecs_hardware_kbc_spark.operators.dedup import exact_duplicates
+    from tecs_hardware_kbc_spark.pipeline import run_kbc
+
+    sf = "/root/testdata/sf0.001"
+    pages, gold, gaz = _synthetic_corpus(spark, n_pages=40)
+    kbc = run_kbc(spark, pages, gaz, gold).triples
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dup_triples = exact_duplicates(docs).select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subj"),
+        F.lit("dup_of").alias("pred"),
+        F.concat(F.lit("doc:"), F.col("canonical_id")).alias("obj"),
+        F.lit(1.0).alias("prob"),
+    )
+    return kbc.unionByName(dup_triples)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

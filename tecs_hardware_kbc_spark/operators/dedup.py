@@ -1,0 +1,253 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all pure DataFrame plans (JVM hash functions only — the
+hashes are md5-derived so a SQL oracle can reproduce them bit-for-bit):
+
+* exact          — normalized-text hash groupBy (the canonical group also
+                   feeds doc-alias canonicalization, see canonicalize.py);
+* minhash + LSH  — shingle -> k minhashes -> banded buckets -> bucket join;
+                   candidate pairs verified by signature similarity. The
+                   scale path: no all-pairs join ever materializes;
+* simhash        — 16-bit sign-aggregated token fingerprint; near-dups =
+                   equal simhash (or small hamming distance);
+* n-gram jaccard — exact Jaccard over word shingles via a shingle-key
+                   self-join (the verification path for small candidate
+                   sets; quadratic only within shingle groups);
+* embedding cosine — near-dup pairs over an embedding column, brute-force
+                   (baseline) or via random-hyperplane LSH buckets (scale).
+
+At 10^12 docs: exact/minhash/simhash are one-or-two-shuffle plans keyed by
+hash/bucket (never by document pair); frequency-capped shingles (``df_cap``)
+keep hot shingles (boilerplate) from exploding the self-joins — the same
+hot-key discipline as the candidate join (north_rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def norm_text(col) -> Column:
+    """Dedup normalization: lowercase + whitespace collapse + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def md5_u32(col, seed: int | None = None) -> Column:
+    """First 32 bits of md5 as an unsigned int (bigint), optionally seeded.
+    Reproducible in any SQL engine: ('0x' || substr(md5(x),1,8))::int."""
+    if seed is not None:
+        col = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, fingerprint): canonical = min id sharing the
+    normalized-text md5. One shuffle on the fingerprint."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "fingerprint").select("doc_id", "canonical_id",
+                                                "fingerprint")
+
+
+def word_shingles(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc — all JVM: split + transform
+    over index sequence + explode."""
+    words = F.split(norm_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
+    ).dropDuplicates()
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<bigint>): element i = min over shingles of the
+    seed-i md5 hash. Map-side partial aggregation keeps the shuffle tiny
+    (num_hashes longs per doc)."""
+    mins = [F.min(md5_u32(F.col("shingle"), seed=i)).alias(f"_h{i}")
+            for i in range(num_hashes)]
+    agg = shingles.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        num_hashes: int = 16) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair.
+    The join is keyed by (band, bucket) — never all-pairs."""
+    rows = num_hashes // bands
+    band_hashes = [
+        F.md5(F.concat_ws(",", *[
+            F.col("sig")[b * rows + r].cast("string") for r in range(rows)
+        ])).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_hashes).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(bands)]))
+        .alias("band", "bucket"),
+    )
+    a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b").dropDuplicates()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3,
+                            num_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.7) -> DataFrame:
+    """(a, b, est_jaccard): LSH candidates whose signature agreement >=
+    threshold. est_jaccard = fraction of equal minhash slots."""
+    sigs = minhash_signatures(
+        word_shingles(docs, id_col, text_col, n), num_hashes
+    )
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes)
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b",
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v,
+        ).cast("double") / num_hashes
+    )
+    return (
+        pairs.join(sa, "a").join(sb, "b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        df_cap: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via a shingle-key self-join.
+
+    ``df_cap`` drops shingles appearing in more than df_cap docs
+    (boilerplate) before the self-join — the skew guard that makes this
+    viable beyond toy scale.
+    """
+    sh = word_shingles(docs, id_col, text_col, n)
+    rare = sh.groupBy("shingle").count().filter(F.col("count") <= df_cap)
+    sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-bit sign of the sum of token-hash bit votes.
+
+    bit b of token hash h votes +1 if set else -1; simhash bit b = 1 iff
+    the vote sum > 0. One explode + one groupBy with ``bits`` sums.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", md5_u32(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, 2 ** b).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id): docs sharing an identical simhash."""
+    s = simhash(docs, id_col, text_col)
+    canon = s.groupBy("simhash").agg(F.min("doc_id").alias("canonical_id"))
+    return s.join(canon, "simhash").select("doc_id", "canonical_id", "simhash")
+
+
+def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              planes: int = 8,
+                              seed: int = 42) -> DataFrame:
+    """(a, b, cosine): pairs with cosine >= threshold, bucketed by
+    random-hyperplane LSH signs so only same-bucket pairs are compared.
+
+    Exact within a bucket; at threshold ~0.95 sign buckets have high recall.
+    For the guaranteed-exact (quadratic) path use similarity.cosine_pairs.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return emb.sparkSession.createDataFrame(
+            [], "a bigint, b bigint, cosine double")
+    dim = first["d"]
+    hp = rng.randn(planes, dim)
+
+    sign_bits = None
+    for p in range(planes):
+        plane = F.array(*[F.lit(float(x)) for x in hp[p]])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        term = F.when(dot > 0, 2 ** p).otherwise(0)
+        sign_bits = term if sign_bits is None else sign_bits + term
+
+    bucketed = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                          sign_bits.alias("bucket"))
+    a = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+
+    def dot(x, y):
+        return F.aggregate(F.zip_with(x, y, lambda p_, q: p_ * q),
+                           F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        a.join(b, "bucket").filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
