@@ -346,13 +346,13 @@ SELECT doc_id,
   round(least(({_stopword_ratio_sql(['the','and','of','to','is','in','for','are','with','a'])}) * 5, 1.0), 6)
     AS stopword_score,
   CASE WHEN length(text)::double / greatest(len({_WORDS_SQL}), 1)
-            BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END AS word_len_score,
+            BETWEEN 3 AND 12 THEN 1.0::double ELSE 0.0::double END AS word_len_score,
   round((least(length(text) / 500.0, 1.0)
          + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
            / greatest(length(text), 1)
          + least(({_stopword_ratio_sql(['the','and','of','to','is','in','for','are','with','a'])}) * 5, 1.0)
          + CASE WHEN length(text)::double / greatest(len({_WORDS_SQL}), 1)
-                BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) / 4.0, 6) AS quality
+                BETWEEN 3 AND 12 THEN 1.0::double ELSE 0.0::double END) / 4.0, 6) AS quality
 FROM documents
 """)
 def doc_quality(spark, sf):

@@ -29,11 +29,13 @@ import pyspark.sql.functions as F
 
 def _cell_grams(sentences: DataFrame) -> DataFrame:
     """Exploded 1..3-gram spans of tabular cells (plus sub-token grams)."""
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
     return (
         sentences.filter(F.col("table_id").isNotNull())
         .select(
             "url", "table_id", "row", "col",
-            F.explode("grams").alias("g"),
+            F.explode(grams_col()).alias("g"),
         )
         .select("url", "table_id", "row", "col", F.col("g.span").alias("span"))
     )
@@ -87,8 +89,10 @@ def build_sentence_ngrams(sentences: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
     w = Window.partitionBy("url").orderBy("position")
-    spans = F.transform("grams", lambda g: g["span"])
+    spans = F.transform(grams_col(), lambda g: g["span"])
     return sentences.select(
         "url",
         "position",

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-from tecs_hardware_kbc_spark.functions.text import split_subtokens, tokenize
+from tecs_hardware_kbc_spark.functions.text import tokenize
 
 BLOCKS_PER_PAGE = 8
 NGRAM_MAX = 3
@@ -142,13 +142,11 @@ def parse_html(html: bytes | str) -> list[dict]:
             text = text.strip()
             if not text:
                 continue
-            words = tokenize(text)
             sentences.append(
                 {
                     "position": position,
                     "text": text,
-                    "words": words,
-                    "grams": _gram_space(text, words),
+                    "words": tokenize(text),
                     "tag": blk["tag"],
                     "table_id": blk["table_id"],
                     "row": blk["row"],
@@ -161,52 +159,6 @@ def parse_html(html: bytes | str) -> list[dict]:
     return sentences
 
 
-def _gram_space(text: str, words: list[str]) -> list[dict]:
-    """The sentence's mention n-gram space, precomputed once at parse time.
-
-    Mirrors fonduer's ``MentionNgrams(n_max=3, split_tokens=["-", "/"])``
-    (``transistors.py:205-241``): all word 1..3-grams with char offsets, plus
-    sub-token unigrams from re-splitting on '-' and '/'. Downstream mention
-    detection is then a pure JVM-side ``explode`` + filter — no Python.
-
-    ``wi`` = starting word index, ``n`` = gram length in words (0 marks a
-    sub-token gram anchored at its parent word).
-    """
-    # char offset of each word (whitespace tokenization => find sequentially)
-    offsets: list[int] = []
-    cursor = 0
-    for w in words:
-        idx = text.index(w, cursor)
-        offsets.append(idx)
-        cursor = idx + len(w)
-    grams: list[dict] = []
-    for i, w in enumerate(words):
-        for n in range(1, min(NGRAM_MAX, len(words) - i) + 1):
-            span = " ".join(words[i : i + n])
-            grams.append(
-                {"span": span, "wi": i, "n": n,
-                 "char_start": offsets[i],
-                 "char_end": offsets[i + n - 1] + len(words[i + n - 1]) - 1}
-            )
-        for sub in split_subtokens(w):
-            sub_start = offsets[i] + w.index(sub)
-            grams.append(
-                {"span": sub, "wi": i, "n": 0,
-                 "char_start": sub_start, "char_end": sub_start + len(sub) - 1}
-            )
-        # punctuation-stripped variant (whitespace tokenization keeps
-        # trailing '.', ',' etc. that a lingual tokenizer would split off)
-        stripped = w.strip(_PUNCT)
-        if stripped and stripped != w:
-            s_start = offsets[i] + w.index(stripped)
-            grams.append(
-                {"span": stripped, "wi": i, "n": 0,
-                 "char_start": s_start,
-                 "char_end": s_start + len(stripped) - 1}
-            )
-    return grams
-
-
 _PUNCT = ".,;:!?()[]{}\"'"
 
 
@@ -215,25 +167,12 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(s["text"] for s in parse_html(html))
 
 
-GRAM_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("span", T.StringType(), False),
-            T.StructField("wi", T.IntegerType(), False),
-            T.StructField("n", T.IntegerType(), False),
-            T.StructField("char_start", T.IntegerType(), False),
-            T.StructField("char_end", T.IntegerType(), False),
-        ]
-    )
-)
-
 SENTENCE_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("position", T.IntegerType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("words", T.ArrayType(T.StringType()), False),
-        T.StructField("grams", GRAM_SCHEMA, False),
         T.StructField("tag", T.StringType(), True),
         T.StructField("table_id", T.IntegerType(), True),
         T.StructField("row", T.IntegerType(), True),
@@ -242,6 +181,77 @@ SENTENCE_SCHEMA = T.StructType(
         T.StructField("is_tabular", T.BooleanType(), False),
     ]
 )
+
+
+_PUNCT_RGX = r"^[.,;:!?()\[\]{}\"']+|[.,;:!?()\[\]{}\"']+$"
+
+
+def grams_col(words=None):
+    """The sentence's mention n-gram space as a pure JVM column expression
+    (array<struct<span, wi, n, char_start, char_end>>).
+
+    Mirrors fonduer's ``MentionNgrams(n_max=3, split_tokens=["-", "/"])``
+    (``transistors.py:205-241``): all word 1..3-grams with char offsets,
+    plus sub-token unigrams from re-splitting on '-'/'/' and
+    punctuation-stripped variants (``n == 0`` marks both). Computed with
+    higher-order functions so the whole gram space stays inside
+    whole-stage codegen — no Python, no extra Arrow payload.
+
+    Char offsets rely on the extractor's whitespace normalization: word i
+    starts at sum(len(w_j) + 1 for j < i).
+    """
+    words = words if words is not None else F.col("words")
+    offs = F.aggregate(
+        words, F.array(F.lit(0)),
+        lambda acc, w: F.concat(acc, F.array(F.element_at(acc, -1)
+                                             + F.length(w) + 1)),
+    )
+
+    def gram(span, wi, n, cs, ce):
+        return F.struct(span.alias("span"), wi.cast("int").alias("wi"),
+                        n.cast("int").alias("n"),
+                        cs.cast("int").alias("char_start"),
+                        ce.cast("int").alias("char_end"))
+
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    word_grams = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(NGRAM_MAX), F.size(words) - i)),
+        lambda n: gram(
+            F.array_join(F.slice(words, i + 1, n), " "), i, n,
+            F.element_at(offs, (i + 1).cast("int")),
+            F.element_at(offs, (i + n).cast("int"))
+            + F.length(F.element_at(words, (i + n).cast("int"))) - 1,
+        ))))
+
+    def derived(i, part):
+        w = F.element_at(words, (i + 1).cast("int"))
+        start = F.element_at(offs, (i + 1).cast("int")) + F.position(part, w) - 1
+        return gram(part, i, F.lit(0), start, start + F.length(part) - 1)
+
+    sub_grams = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.filter(
+            F.split(F.element_at(words, (i + 1).cast("int")), "[-/]"),
+            lambda p: (p != "")
+            & (p != F.element_at(words, (i + 1).cast("int"))),
+        ),
+        lambda p: derived(i, p),
+    )))
+
+    strip_grams = F.flatten(F.transform(idx, lambda i: F.transform(
+        F.filter(
+            F.array(F.regexp_replace(
+                F.element_at(words, (i + 1).cast("int")), _PUNCT_RGX, "")),
+            lambda p: (p != "")
+            & (p != F.element_at(words, (i + 1).cast("int"))),
+        ),
+        lambda p: derived(i, p),
+    )))
+
+    return F.concat(word_grams, sub_grams, strip_grams)
+
+
+def with_grams(sentences: DataFrame) -> DataFrame:
+    return sentences.withColumn("grams", grams_col())
 
 
 def parse_pages(pages: DataFrame) -> DataFrame:

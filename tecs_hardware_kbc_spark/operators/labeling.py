@@ -69,10 +69,12 @@ def with_context(cands: DataFrame, sentences: DataFrame,
             ["url", f"{side}table_id", f"{side}{axis}"], "left",
         ).withColumn(name, F.coalesce(F.col(name), F.array()))
 
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
     sent = sentences.select(
         "url", "position",
         F.col("words").alias("_words"),
-        F.transform("grams", lambda g: g["span"]).alias("_sent_grams"),
+        F.transform(grams_col(), lambda g: g["span"]).alias("_sent_grams"),
     )
     from pyspark.sql.window import Window
     w = Window.partitionBy("url").orderBy("position")

@@ -71,9 +71,11 @@ MENTION_COLS = ["url", "position", "mention_type", "span", "raw_span",
 
 
 def gram_space(sentences: DataFrame, n_min: int = 0, n_max: int = 3) -> DataFrame:
-    """Explode the precomputed gram space. ``n == 0`` = sub-token grams
+    """Explode the JVM-computed gram space. ``n == 0`` = sub-token grams
     (always included: they are unigrams of the re-split space)."""
-    g = sentences.select(*_CTX_COLS, F.explode("grams").alias("g"))
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
+    g = sentences.select(*_CTX_COLS, F.explode(grams_col()).alias("g"))
     return (
         g.filter((F.col("g.n") <= n_max) & ((F.col("g.n") >= n_min) | (F.col("g.n") == 0)))
         .select(
@@ -137,22 +139,27 @@ def part_mentions(sentences: DataFrame, gazetteer: DataFrame) -> DataFrame:
         F.explode("parts").alias("part_span"),
     ).filter(~F.col("part_span").contains(" "))
 
+    # ONE pass over the expanded spans: the three matchers are OR'd boolean
+    # columns (dictionary membership via a broadcast left join flag), so the
+    # expansion UDF and the explode run exactly once.
     ps = F.col("part_span")
-    dict_parts = gazetteer.select(F.upper("part").alias("dict_part")).distinct()
-    in_dict = exploded.join(
-        F.broadcast(dict_parts), ps == F.col("dict_part"), "left_semi"
-    )
+    dict_parts = gazetteer.select(F.upper("part").alias("part_span")) \
+        .distinct().withColumn("_in_dict", F.lit(True))
     doc_stem = F.upper(F.regexp_replace(F.element_at(F.split(F.col("url"), "/"), -1),
                                         r"\.html$", ""))
-    by_rgx = exploded.filter(F.regexp_like(ps, F.lit(PART_RGX)))
-    by_name = exploded.filter(
+    by_rgx = F.regexp_like(ps, F.lit(PART_RGX))
+    by_name = (
         F.regexp_like(ps, F.lit(r"^[A-Z0-9\-]{5,15}$"))
         & F.regexp_like(ps, F.lit(r"[0-9]"))
         & F.regexp_like(ps, F.lit(r"[A-Z]"))
         & (F.levenshtein(ps, doc_stem) <= 2)
     )
-    matched = by_rgx.unionByName(in_dict).unionByName(by_name).dropDuplicates(
-        ["url", "position", "wi", "n", "char_start", "char_end", "part_span"]
+    matched = (
+        exploded.join(F.broadcast(dict_parts), "part_span", "left")
+        .filter(by_rgx | F.coalesce("_in_dict", F.lit(False)) | by_name)
+        .dropDuplicates(
+            ["url", "position", "wi", "n", "char_start", "char_end",
+             "part_span"])
     )
     return _finish(
         matched, "part",

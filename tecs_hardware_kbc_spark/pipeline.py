@@ -159,12 +159,17 @@ def run_kbc(
     P/R/F1; without: fixed ``default_threshold``."""
     relations = relations or ALL_RELATIONS
 
+    # localCheckpoint at every stage boundary: it caches AND truncates the
+    # logical plan, so the ~30 downstream actions (per-relation sweeps,
+    # counts) each plan against a flat LogicalRDD instead of re-analyzing
+    # the full parse->grams->LF lineage. On a cluster the checkpointed
+    # variant (parquet stage tables) plays this role.
     clean = ingest(pages)
-    sentences = parse_pages(clean).persist()
+    sentences = parse_pages(clean).localCheckpoint()
     ctx = build_context(sentences)
-    ctx = {k: v.persist() for k, v in ctx.items()}
+    ctx = {k: v.localCheckpoint() for k, v in ctx.items()}
     mentions = extract_mentions(sentences, gazetteer, ctx)
-    mentions["part"] = mentions["part"].persist()
+    mentions = {k: v.localCheckpoint() for k, v in mentions.items()}
 
     gold_ents = gold_entities(gold).persist() if gold is not None else None
     parts_by_doc = (
@@ -188,16 +193,18 @@ def run_kbc(
         ents = relation_entities(rel, scored, ctx, parts_by_doc)
         if components is not None:
             ents = canonicalize_entities(ents, components, on="doc")
-        ents = ents.persist()
+        ents = ents.localCheckpoint()
 
         if sweep and gold_ents is not None:
             rel_gold = gold_ents.filter(F.col("attribute") == rel)
-            swept = threshold_sweep(ents, rel_gold)
-            best = best_threshold(swept)
+            # the best sweep row already carries tp/fp/fn/P/R/F1 at the
+            # chosen threshold — no re-scoring pass needed
+            best = best_threshold(threshold_sweep(ents, rel_gold))
             b = float(best["b"])
             thresholds[rel] = b
             final = ents.filter(F.col("prob") > b)
-            scores[rel] = entity_scores(final, rel_gold)
+            scores[rel] = {k: best[k] for k in
+                           ("tp", "fp", "fn", "precision", "recall", "f1")}
             scores[rel]["b"] = b
         else:
             thresholds[rel] = default_threshold

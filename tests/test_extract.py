@@ -39,19 +39,36 @@ def test_structure():
     assert not h1["is_tabular"] and h1["page"] == 1
 
 
-def test_gram_space_offsets():
-    sents = parse_html(HTML)
-    cell = next(s for s in sents if s["text"] == "-55 to 150")
-    spans = {g["span"] for g in cell["grams"]}
+def _grams_of(spark, text):
+    from tecs_hardware_kbc_spark.functions.text import tokenize
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+    df = spark.createDataFrame([(text, tokenize(text))],
+                               "text string, words array<string>")
+    return df.select(F.explode(grams_col()).alias("g"), "text") \
+        .select("g.*", "text").collect()
+
+
+def test_gram_space_offsets(spark):
+    grams = _grams_of(spark, "-55 to 150")
+    spans = {g["span"] for g in grams}
     assert {"-55", "to", "150", "-55 to", "to 150", "-55 to 150", "55"} <= spans
-    for g in cell["grams"]:
-        assert cell["text"][g["char_start"]: g["char_end"] + 1] == g["span"]
+    for g in grams:
+        assert g["text"][g["char_start"]: g["char_end"] + 1] == g["span"]
 
 
-def test_subtoken_grams():
-    sents = parse_html(b"<p>BC337-16/BC338-16 works</p>")
-    spans = {g["span"] for g in sents[0]["grams"]}
+def test_subtoken_grams(spark):
+    grams = _grams_of(spark, "BC337-16/BC338-16 works")
+    spans = {g["span"] for g in grams}
     assert {"BC337-16/BC338-16", "BC337", "16", "BC338"} <= spans
+
+
+def test_punct_stripped_grams(spark):
+    grams = _grams_of(spark, "the BC556.")
+    by_span = {g["span"]: g for g in grams}
+    assert "BC556" in by_span
+    g = by_span["BC556"]
+    assert "the BC556."[g["char_start"]: g["char_end"] + 1] == "BC556"
+    assert g["n"] == 0
 
 
 def test_extract_text_deterministic():
