@@ -1,9 +1,9 @@
 """Deterministic synthetic page corpus (FIXTURES.md F1-F4).
 
 Generates Common-Crawl-style rows ``(url, warc_ts, html, text, lang)`` of
-datasheet-like HTML plus the jointly-planted gold triples, a part gazetteer,
-and a parts-by-doc alias table. Every surface form the reference pipeline
-handles is exercised (citations into lukehsiao/tecs-hardware-kbc):
+datasheet-like HTML plus jointly-planted gold triples, a part gazetteer and
+alias structure. Every surface form the reference pipeline handles is
+exercised (citations into lukehsiao/tecs-hardware-kbc):
 
 * part naming families — EECA/JEDEC/JIS/house regexes
   (``transistor_matchers.py:82-95``);
@@ -11,19 +11,21 @@ handles is exercised (citations into lukehsiao/tecs-hardware-kbc):
   (``transistor_spaces.py:12-144``);
 * spec tables with per-variant columns (value vertically aligned with its
   part header — the structural analog of ``is_vert_aligned``);
-* storage-temp cells "-55 to 150", ce_v_max "45 V" rows, polarity in the
-  ``<h1>``, opamp "1.1 MHz" gain and "±2.3 mA" supply-current rows
-  (``opamp_utils.py:197-207`` ± doubling);
-* distractor rows (operating temp, junction temp, VCBO, collector current,
-  offset voltage) that the matchers/LFs must reject;
-* hot-domain URL skew (>=25% of rows on one domain), duplicate urls with a
-  later ``warc_ts`` (late re-crawl), and near-duplicate mirrored pages;
-* ~3% of gold rows reference values not present on any page (recall
-  ceiling < 1.0, as in the reference corpus).
+* storage-temp cells "-55 to 150", ce_v_max rows, polarity in the
+  ``<h1>``, opamp "1.1 MHz" gain and "±2.3 mA" supply-current rows with
+  ± doubling (``opamp_utils.py:197-207``);
+* distractor rows (operating/junction temp, VCBO, collector current,
+  offset voltage) the matchers/LFs must reject;
+* hot-domain URL skew, duplicate urls with later ``warc_ts`` (late
+  re-crawl), mirrored pages under different doc keys (canonicalization
+  targets), and ~3% unrecoverable gold (recall ceiling).
 
-The ``text`` column is produced by THE canonical extractor
-(``operators.extract.extract_text``), which is what the byte-identical
-invariant asserts.
+**Every page is a pure function of (seed, page index)** — so generation
+distributes over Spark (``distributed_corpus``) with no global state, and
+the driver-side ``generate_corpus`` produces the identical corpus for
+tests. Part-number uniqueness across pages is by construction: each page
+index owns a disjoint numeric core (stride 4 leaves room for sibling
+variants).
 """
 
 from __future__ import annotations
@@ -53,6 +55,8 @@ _EECA_PREFIXES = ["BC", "BD", "BF", "BU"]
 _HOUSE_PREFIXES = ["TIP", "MPS", "ZTX", "KSC"]
 _OPAMP_PREFIXES = ["LT", "AD", "OPA", "MAX"]
 
+_BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
 
 @dataclass
 class Page:
@@ -81,36 +85,38 @@ def doc_key(url: str) -> str:
     return stem.upper()
 
 
-def _pick_domain(rng: random.Random) -> str:
-    return DOMAINS[0] if rng.random() < 0.25 else rng.choice(DOMAINS[1:])
-
-
-def _part_family(rng: random.Random, kind: str) -> list[str]:
-    """A base part plus consecutive-numbered or letter-suffixed variants."""
-    if kind == "eeca":
-        base = f"{rng.choice(_EECA_PREFIXES)}{rng.randrange(100, 999)}"
-    elif kind == "jedec":
-        base = f"2N{rng.randrange(1000, 9999)}"
-    elif kind == "jis":
-        base = f"2S{rng.choice('ABCD')}{rng.randrange(100, 1999)}"
+def _part_family(rng: random.Random, i: int) -> list[str]:
+    """Page i's part family. The numeric core 100 + 4*i is unique per page
+    (stride 4 leaves room for up to 3 sibling variants), so cross-page part
+    collisions cannot occur below ~25k transistor pages; styles whose regex
+    caps the digit count fall back to the EECA form once the core outgrows
+    them."""
+    style = i % 4
+    core = 100 + (4 * i) % 99900
+    if style != 0 and core > 9899:
+        style = 0  # jedec/jis/house digit ranges exhausted -> EECA form
+    if style == 0:
+        base = f"{_EECA_PREFIXES[i % len(_EECA_PREFIXES)]}{core}"
+    elif style == 1:
+        base = f"2N{core}"
+    elif style == 2:
+        base = f"2S{'BCD'[i % 3]}{core}"
     else:
-        base = f"{rng.choice(_HOUSE_PREFIXES)}{rng.randrange(100, 999)}"
-    style = rng.random()
+        base = f"{_HOUSE_PREFIXES[i % len(_HOUSE_PREFIXES)]}{core}"
+
     n = rng.choice([1, 2, 3])
-    if style < 0.5:  # numeric siblings BC546, BC547, BC548
-        # Range expansion (reference transistor_spaces.py:70-73) enumerates
-        # by str.replace of the differing digit — which replaces EVERY
-        # occurrence. Keep families well-formed for it: the varying last
-        # digit must be unique in the part and must not carry.
-        last = int(base[-1])
-        if last + n - 1 > 9 or base.count(base[-1]) != 1:
-            return _part_family(rng, kind)
-        return [f"{base[:-1]}{last + i}" for i in range(n)]
-    # letter-suffix siblings BC546A, BC546B — same uniqueness constraint on
-    # the suffix letters (e.g. 2SA123A would corrupt under replace("A", ...))
-    if n > 1 and any(chr(ord("A") + i) in base for i in range(n)):
-        return _part_family(rng, kind)
-    return [base] if n == 1 else [f"{base}{chr(ord('A') + i)}" for i in range(n)]
+    # numeric siblings need a carry-free, unique last digit for the
+    # reference's replace-all range expansion (transistor_spaces.py:70-73)
+    last = int(base[-1])
+    numeric_ok = last + n - 1 <= 9 and base.count(base[-1]) == 1
+    # letter siblings are unsafe when 'A' occurs in the base (replace-all
+    # would corrupt, e.g. 2SA123A)
+    letter_ok = "A" not in base
+    if rng.random() < 0.5 and numeric_ok:
+        return [f"{base[:-1]}{last + k}" for k in range(n)]
+    if n > 1 and letter_ok:
+        return [f"{base}{chr(ord('A') + k)}" for k in range(n)]
+    return [base]
 
 
 def _range_expr(rng: random.Random, family: list[str]) -> str:
@@ -119,27 +125,24 @@ def _range_expr(rng: random.Random, family: list[str]) -> str:
         return family[0]
     joiner = rng.choice([" thru ", " to ", " ~ ", " - "])
     if rng.random() < 0.4 and all(f[:-1] == family[0][:-1] for f in family):
-        # slash suffix form: BC546A/B
         return family[0] + "/" + "/".join(f[-1] for f in family[1:])
     return f"{family[0]}{joiner}{family[-1]}"
 
 
-def _transistor_page(rng: random.Random, family: list[str], manuf: str,
-                     corpus: Corpus, noise: bool) -> tuple[str, list[tuple]]:
+def _transistor_html(rng: random.Random, family: list[str],
+                     manuf: str) -> tuple[str, list[tuple]]:
     polarity = rng.choice(["NPN", "PNP"])
     t_min = rng.choice([-55, -65, -50, -60])
     t_max = rng.choice([150, 150, 175, 200])
     ce_vals = [rng.choice([30, 40, 45, 60, 65, 80]) for _ in family]
     ic_ma = rng.choice([100, 500, 800])
     with_junction = rng.random() < 0.3
-    with_complement = rng.random() < 0.15
     comp_part = None
-    if with_complement:
-        comp_part = f"{family[0][:2]}{rng.randrange(100, 999)}"
+    if rng.random() < 0.15:
+        comp_part = f"{family[0][:2]}{rng.randrange(100, 999)}9"
 
     range_expr = _range_expr(rng, family)
     per_variant_cols = rng.random() < 0.5 and len(family) > 1
-
     head_cols = family if per_variant_cols else [range_expr]
     val_cols = ce_vals if per_variant_cols else [ce_vals[0]]
     if not per_variant_cols:
@@ -149,11 +152,9 @@ def _transistor_page(rng: random.Random, family: list[str], manuf: str,
         cells = "".join(f"<td>{v}</td>" for v in values)
         return f"<tr><td>{param}</td><td>{symbol}</td>{cells}<td>{unit}</td></tr>"
 
-    header = (
-        "<tr><th>Parameter</th><th>Symbol</th>"
-        + "".join(f"<th>{p}</th>" for p in head_cols)
-        + "<th>Unit</th></tr>"
-    )
+    header = ("<tr><th>Parameter</th><th>Symbol</th>"
+              + "".join(f"<th>{p}</th>" for p in head_cols)
+              + "<th>Unit</th></tr>")
     nvals = len(head_cols)
     rows = [
         header,
@@ -166,17 +167,14 @@ def _transistor_page(rng: random.Random, family: list[str], manuf: str,
     if with_junction:
         rows.insert(4, row("Junction Temperature", "TJ", [175] * nvals, "°C"))
 
-    prose = (
-        f"<p>{range_expr} are {polarity} silicon epitaxial planar transistors "
-        f"designed for general purpose switching and amplification.</p>"
-    )
-    comp_html = (
-        f"<p>Complementary to the {comp_part} series.</p>" if with_complement else ""
-    )
+    comp_html = (f"<p>Complementary to the {comp_part} series.</p>"
+                 if comp_part else "")
     html = (
         f"<html><head><title>{family[0]} Datasheet - {manuf}</title></head><body>"
         f"<h1>{family[0]} {polarity} Silicon Transistor</h1>"
-        f"{prose}{comp_html}"
+        f"<p>{range_expr} are {polarity} silicon epitaxial planar transistors "
+        f"designed for general purpose switching and amplification.</p>"
+        f"{comp_html}"
         f"<table>{''.join(rows)}</table>"
         f"</body></html>"
     )
@@ -185,25 +183,20 @@ def _transistor_page(rng: random.Random, family: list[str], manuf: str,
     doc = family[0].upper()
     for part, ce in zip(family, ce_vals):
         part = part.upper()
-        plant = [
-            ("polarity", polarity),
-            ("stg_temp_min", str(t_min)),
-            ("stg_temp_max", str(t_max)),
-            ("ce_v_max", str(ce)),
-        ]
-        for attr, val in plant:
+        for attr, val in (("polarity", polarity),
+                          ("stg_temp_min", str(t_min)),
+                          ("stg_temp_max", str(t_max)),
+                          ("ce_v_max", str(ce))):
             gold.append((doc, manuf, part, attr, val))
-            if noise and rng.random() < 0.03:
-                # recall ceiling: gold knows a variant the page never
-                # mentions (unrecoverable -> FN only, like the reference's
-                # candidate-stage recall ceiling). The "Z" prefix keeps it
-                # out of reach of prefix alias-widening too.
+            if rng.random() < 0.03:
+                # recall ceiling: a variant the page never mentions; "Z"
+                # prefix keeps it out of reach of prefix alias-widening
                 gold.append((doc, manuf, "Z" + part, attr, val))
     return html, gold
 
 
-def _opamp_page(rng: random.Random, part: str, manuf: str,
-                noise: bool) -> tuple[str, list[tuple]]:
+def _opamp_html(rng: random.Random, part: str,
+                manuf: str) -> tuple[str, list[tuple]]:
     gbp_mhz = rng.choice([0.5, 1.1, 2.2, 4.5, 8.0, 10.0])
     pm = rng.random() < 0.4
     if pm:
@@ -212,7 +205,7 @@ def _opamp_page(rng: random.Random, part: str, manuf: str,
         cur_val, cur_unit = rng.choice([230, 450, 950]), "µA"
     cur_span = f"±{cur_val}" if pm else f"{cur_val}"
 
-    def row(param: str, symbol: str, value, unit: str) -> str:
+    def row(param, symbol, value, unit):
         return (f"<tr><td>{param}</td><td>{symbol}</td>"
                 f"<td>{value}</td><td>{unit}</td></tr>")
 
@@ -233,96 +226,146 @@ def _opamp_page(rng: random.Random, part: str, manuf: str,
     doc = part.upper()
     # gold values in display units matching the reference's output rescale
     # (kHz for gain, µA for current — hack/opamps/opamps.py:47-49), with ±
-    # doubling (opamp_utils.py:197-207).
-    gbp_khz = int(gbp_mhz * 1000)
-    gold = [(doc, manuf, doc, "typ_gbp", str(gbp_khz))]
+    # doubling (opamp_utils.py:197-207)
+    gold = [(doc, manuf, doc, "typ_gbp", str(int(gbp_mhz * 1000)))]
     cur_ua = cur_val * (1000 if cur_unit == "mA" else 1)
-    currents = [cur_ua, 2 * cur_ua] if pm else [cur_ua]
-    for c in currents:
+    for c in ([cur_ua, 2 * cur_ua] if pm else [cur_ua]):
         c_str = str(int(c)) if float(c) == int(c) else str(c)
         gold.append((doc, manuf, doc, "typ_supply_current", c_str))
-    if noise and rng.random() < 0.03:
+    if rng.random() < 0.03:
         gold.append((doc, manuf, doc, "typ_gbp", "31415"))
     return html, gold
 
 
-def generate_corpus(n_pages: int = 100, seed: int = 42,
-                    noise: bool = True) -> Corpus:
-    """Deterministic corpus of ``n_pages`` primary pages (plus duplicate /
-    re-crawl rows on top, ~8%)."""
-    rng = random.Random(seed)
-    corpus = Corpus()
-    base_ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
-    seen_parts: set[str] = set()
+def page_rows(i: int, n_pages: int, seed: int = 42,
+              noise: bool = True) -> tuple[list[Page], list[tuple], list[tuple]]:
+    """All corpus rows owned by page index i — a PURE function of
+    (seed, i, n_pages): primary page, optional re-crawl row, optional
+    mirror row, gold, gazetteer entries. Indices n_pages..n_pages+2 are the
+    non-English pages; >= n_pages+3 are gazetteer-only entries."""
+    rng = random.Random(f"{seed}:{i}")
 
-    for i in range(n_pages):
-        manuf = rng.choice(MANUFACTURERS)
-        domain = _pick_domain(rng)
-        is_opamp = rng.random() < 0.4
-        if is_opamp:
-            part = f"{rng.choice(_OPAMP_PREFIXES)}{rng.randrange(1000, 9999)}"
-            while part in seen_parts:
-                part = f"{rng.choice(_OPAMP_PREFIXES)}{rng.randrange(1000, 9999)}"
-            html, gold = _opamp_page(rng, part, manuf, noise)
-            family = [part]
-        else:
-            family = _part_family(rng, rng.choice(["eeca", "jedec", "jis", "house"]))
-            while family[0] in seen_parts:
-                family = _part_family(rng, rng.choice(["eeca", "jedec", "jis", "house"]))
-            html, gold = _transistor_page(rng, family, manuf, corpus, noise)
-        seen_parts.update(family)
-
-        url = f"https://{domain}/{family[0].lower()}.html"
-        ts = base_ts + dt.timedelta(minutes=i * 17 % 50000)
-        html_b = html.encode("utf-8")
-        corpus.pages.append(Page(url, ts, html_b, extract_text(html_b), "en"))
-        corpus.gold.extend(gold)
-        for p in family:
-            corpus.gazetteer.append((p.upper(), url))
-
-        # late re-crawl: same url, later ts, identical content (ingest should
-        # keep exactly one row per url)
-        if rng.random() < 0.05:
-            corpus.pages.append(
-                Page(url, ts + dt.timedelta(days=30), html_b,
-                     extract_text(html_b), "en")
-            )
-        # mirrored page on another domain with a DIFFERENT url stem: its doc
-        # key only unifies with the original through connected-components
-        # canonicalization over content-identity alias edges — without it,
-        # every mirror triple is a precision hit. No extra gold is planted.
-        if rng.random() < 0.06:
-            mdomain = rng.choice([d for d in DOMAINS if d != domain])
-            murl = f"https://{mdomain}/{family[0].lower()}-m.html"
-            corpus.pages.append(
-                Page(murl, ts + dt.timedelta(days=3), html_b,
-                     extract_text(html_b), "en")
-            )
-
-    # a few non-English rows (lang filter test): no gold planted
-    for j, lang in enumerate(["de", "zh", "fr"]):
+    if n_pages <= i < n_pages + 3:
+        j = i - n_pages
+        lang = ["de", "zh", "fr"][j]
         html = (f"<html><body><h1>Übersicht {j}</h1><p>Kein Datenblatt hier."
                 f"</p></body></html>").encode("utf-8")
         url = f"https://{rng.choice(DOMAINS)}/misc-{lang}-{j}.html"
-        corpus.pages.append(
-            Page(url, base_ts + dt.timedelta(days=j), html,
-                 extract_text(html), lang)
-        )
+        ts = _BASE_TS + dt.timedelta(days=j)
+        return [Page(url, ts, html, extract_text(html), lang)], [], []
 
-    # gazetteer gains extra dictionary-only parts (like the Digi-Key CSV's
-    # 11,620 rows, transistor_matchers.py:21-31)
-    for _ in range(max(50, n_pages // 2)):
-        fam = _part_family(rng, rng.choice(["eeca", "jedec", "jis", "house"]))
-        for p in fam:
-            if p not in seen_parts:
-                corpus.gazetteer.append(
-                    (p.upper(), f"https://www.digikey.example/{p.lower()}")
-                )
+    if i >= n_pages + 3:
+        # gazetteer-only dictionary parts (like the Digi-Key CSV's extra
+        # 11,620 rows, transistor_matchers.py:21-31); offset index space
+        fam = _part_family(rng, i)
+        return [], [], [(p.upper(), f"https://www.digikey.example/{p.lower()}")
+                        for p in fam]
+
+    manuf = MANUFACTURERS[i % len(MANUFACTURERS)]
+    domain = DOMAINS[0] if rng.random() < 0.25 else rng.choice(DOMAINS[1:])
+    if rng.random() < 0.4:
+        part = f"{_OPAMP_PREFIXES[i % 4]}{1000 + i}"
+        html, gold = _opamp_html(rng, part, manuf)
+        family = [part]
+    else:
+        family = _part_family(rng, i)
+        html, gold = _transistor_html(rng, family, manuf)
+    if not noise:
+        gold = [g for g in gold
+                if not (g[2].startswith("Z") or g[4] == "31415")]
+
+    url = f"https://{domain}/{family[0].lower()}.html"
+    ts = _BASE_TS + dt.timedelta(minutes=(i * 17) % 50000)
+    html_b = html.encode("utf-8")
+    text = extract_text(html_b)
+    pages = [Page(url, ts, html_b, text, "en")]
+    gaz = [(p.upper(), url) for p in family]
+
+    if rng.random() < 0.05:  # late re-crawl: same url, later ts
+        pages.append(Page(url, ts + dt.timedelta(days=30), html_b, text, "en"))
+    if rng.random() < 0.06:
+        # mirror under a DIFFERENT doc key: only connected-components
+        # canonicalization over content-identity edges unifies it — without
+        # it every mirror triple is a precision hit. No extra gold.
+        mdomain = DOMAINS[(i + 3) % len(DOMAINS)]
+        murl = f"https://{mdomain}/{family[0].lower()}-m.html"
+        pages.append(Page(murl, ts + dt.timedelta(days=3), html_b, text, "en"))
+    return pages, gold, gaz
+
+
+def _index_space(n_pages: int) -> int:
+    return n_pages + 3 + max(50, n_pages // 2)
+
+
+def generate_corpus(n_pages: int = 100, seed: int = 42,
+                    noise: bool = True) -> Corpus:
+    """Driver-side generation (tests, tiny corpora) — identical output to
+    the distributed path."""
+    corpus = Corpus()
+    for i in range(_index_space(n_pages)):
+        pages, gold, gaz = page_rows(i, n_pages, seed, noise)
+        corpus.pages.extend(pages)
+        corpus.gold.extend(gold)
+        corpus.gazetteer.extend(gaz)
     return corpus
 
 
+_GEN_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "gold array<struct<filename:string,manuf:string,part:string,"
+    "attribute:string,value:string>>, "
+    "gaz array<struct<part:string,url:string>>"
+)
+
+
+def distributed_corpus(spark, n_pages: int, seed: int = 42,
+                       noise: bool = True, partitions: int | None = None):
+    """Generate the corpus ON the cluster: page indices are distributed and
+    each partition generates its pages independently (pure per-index
+    function, no driver bottleneck). Returns (pages, gold, gazetteer)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                pages, gold, gaz = page_rows(i, n_pages, seed, noise)
+                for k, p in enumerate(pages):
+                    rows.append({
+                        "url": p.url, "warc_ts": p.warc_ts.replace(tzinfo=None),
+                        "html": p.html, "text": p.text, "lang": p.lang,
+                        "gold": gold if k == 0 else [],
+                        "gaz": [{"part": g[0], "url": g[1]} for g in gaz]
+                        if k == 0 else [],
+                    })
+                if not pages and gaz:  # gazetteer-only index
+                    rows.append({
+                        "url": None, "warc_ts": None, "html": None,
+                        "text": None, "lang": None, "gold": [],
+                        "gaz": [{"part": g[0], "url": g[1]} for g in gaz],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang",
+                               "gold", "gaz"])
+
+    raw = (
+        spark.range(_index_space(n_pages)).repartition(parts)
+        .mapInPandas(_gen, schema=_GEN_SCHEMA)
+        .localCheckpoint()
+    )
+    pages = raw.filter(F.col("url").isNotNull()) \
+        .select("url", "warc_ts", "html", "text", "lang")
+    gold = raw.select(F.explode("gold").alias("g")).select("g.*")
+    gaz = raw.select(F.explode("gaz").alias("g")).select("g.*")
+    return pages, gold, gaz
+
+
 def corpus_to_dataframes(spark, corpus: Corpus):
-    """Materialize the corpus as (pages, gold, gazetteer) DataFrames."""
+    """Materialize a driver-side corpus as (pages, gold, gazetteer) DFs."""
     import pyspark.sql.types as T
 
     pages_schema = T.StructType([
@@ -349,9 +392,7 @@ def corpus_to_dataframes(spark, corpus: Corpus):
 def write_corpus(spark, out_dir: str, n_pages: int = 100, seed: int = 42,
                  noise: bool = True) -> None:
     """Write pages/gold/gazetteer parquet under ``out_dir`` (bench input)."""
-    corpus = generate_corpus(n_pages=n_pages, seed=seed, noise=noise)
-    pages, gold, gaz = corpus_to_dataframes(spark, corpus)
-    pages.repartition(max(spark.sparkContext.defaultParallelism, 8)) \
-        .write.mode("overwrite").parquet(f"{out_dir}/pages.parquet")
+    pages, gold, gaz = distributed_corpus(spark, n_pages, seed, noise)
+    pages.write.mode("overwrite").parquet(f"{out_dir}/pages.parquet")
     gold.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/gold.parquet")
     gaz.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/gazetteer.parquet")

@@ -27,33 +27,25 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
-def _cell_grams(sentences: DataFrame) -> DataFrame:
-    """Exploded 1..3-gram spans of tabular cells (plus sub-token grams)."""
-    from tecs_hardware_kbc_spark.operators.extract import grams_col
-
-    return (
-        sentences.filter(F.col("table_id").isNotNull())
-        .select(
-            "url", "table_id", "row", "col",
-            F.explode(grams_col()).alias("g"),
-        )
-        .select("url", "table_id", "row", "col", F.col("g.span").alias("span"))
-    )
+def _cell_grams(grams: DataFrame) -> DataFrame:
+    """Tabular rows of the shared exploded gram table."""
+    return grams.filter(F.col("table_id").isNotNull()).select(
+        "url", "table_id", "row", "col", F.col("raw_span").alias("span"))
 
 
-def build_row_ngrams(sentences: DataFrame) -> DataFrame:
+def build_row_ngrams(grams: DataFrame) -> DataFrame:
     """(url, table_id, row) -> distinct gram spans anywhere in that row."""
     return (
-        _cell_grams(sentences)
+        _cell_grams(grams)
         .groupBy("url", "table_id", "row")
         .agg(F.collect_set("span").alias("grams"))
     )
 
 
-def build_col_ngrams(sentences: DataFrame) -> DataFrame:
+def build_col_ngrams(grams: DataFrame) -> DataFrame:
     """(url, table_id, col) -> distinct gram spans anywhere in that column."""
     return (
-        _cell_grams(sentences)
+        _cell_grams(grams)
         .groupBy("url", "table_id", "col")
         .agg(F.collect_set("span").alias("grams"))
     )

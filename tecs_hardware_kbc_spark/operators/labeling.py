@@ -37,64 +37,87 @@ def _F(cond: Column) -> Column:
     return F.when(cond, FALSE).otherwise(ABSTAIN)
 
 
-def with_context(cands: DataFrame, sentences: DataFrame,
-                 row_ngrams: DataFrame, col_ngrams: DataFrame) -> DataFrame:
-    """Join a candidate frame to every context array the LFs probe.
+# context pieces each relation's LFs actually probe — with_context joins
+# nothing else (the sentence-gram window join in particular is only paid by
+# polarity)
+RELATION_NEEDS: dict[str, set[str]] = {
+    "stg_temp_min": {"a_row", "a_col", "a_words"},
+    "stg_temp_max": {"a_row", "a_col", "a_words"},
+    "polarity": {"a_row", "a_col", "a_sent", "p_sent", "p_words"},
+    "ce_v_max": {"a_row", "a_col"},
+    "typ_gbp": {"a_row", "a_col"},
+    "typ_supply_current": {"a_row", "a_col"},
+}
 
-    One pass, all left joins on the same co-partitioned keys; missing
-    context (non-tabular sentences) becomes empty arrays so every LF is a
-    total function.
+
+def build_sentence_context(sentences: DataFrame,
+                           grams: DataFrame) -> DataFrame:
+    """(url, position, words, sent grams, neighbor-sentence grams) — built
+    once per corpus from the already-materialized gram table (re-evaluating
+    the gram HOF would dominate) and shared by every relation that probes
+    sentence-level context. One groupBy + one window shuffle total."""
+    from pyspark.sql.window import Window
+
+    per_sent = grams.groupBy("url", "position").agg(
+        F.collect_list("raw_span").alias("_sent_grams"))
+    w = Window.partitionBy("url").orderBy("position")
+    return (
+        sentences.select("url", "position", F.col("words").alias("_words"))
+        .join(per_sent, ["url", "position"], "left")
+        .withColumn("_sent_grams",
+                    F.coalesce("_sent_grams", F.array()))
+        .withColumn(
+            "_neighbor_grams",
+            F.concat(
+                F.coalesce(F.lag("_sent_grams", 1).over(w), F.array()),
+                F.coalesce(F.lead("_sent_grams", 1).over(w), F.array()),
+            ),
+        )
+    )
+
+
+def with_context(cands: DataFrame, sent_ctx: DataFrame,
+                 row_ngrams: DataFrame, col_ngrams: DataFrame,
+                 needs: set[str] | None = None) -> DataFrame:
+    """Join a candidate frame to exactly the context arrays its LFs probe.
+
+    All left joins on co-partitioned keys; missing context (non-tabular
+    sentences) becomes empty arrays so every LF is a total function.
     """
-    def ctx(tbl: DataFrame, keycols: list[str], out: str, side: str,
-            axis: str) -> DataFrame:
+    has_part = "p_span" in cands.columns
+    needs = needs if needs is not None else {
+        "a_row", "a_col", "a_words", "a_sent", "p_sent", "p_words"}
+    out = cands
+    joins = []
+    if "a_row" in needs:
+        joins.append((row_ngrams, "a_", "row", "_a_row"))
+    if "a_col" in needs:
+        joins.append((col_ngrams, "a_", "col", "_a_col"))
+    if has_part and "p_row" in needs:
+        joins.append((row_ngrams, "p_", "row", "_p_row"))
+    for tbl, side, axis, name in joins:
         renamed = tbl.select(
             "url",
             F.col("table_id").alias(f"{side}table_id"),
             F.col(axis).alias(f"{side}{axis}"),
-            F.col("grams").alias(out),
+            F.col("grams").alias(name),
         )
-        return renamed
-
-    has_part = "p_span" in cands.columns
-    out = cands
-    joins = [
-        (row_ngrams, "a_", "row", "_a_row"),
-        (col_ngrams, "a_", "col", "_a_col"),
-    ]
-    if has_part:
-        joins.append((row_ngrams, "p_", "row", "_p_row"))
-    for tbl, side, axis, name in joins:
         out = out.join(
-            ctx(tbl, [], name, side, axis),
-            ["url", f"{side}table_id", f"{side}{axis}"], "left",
+            renamed, ["url", f"{side}table_id", f"{side}{axis}"], "left",
         ).withColumn(name, F.coalesce(F.col(name), F.array()))
 
-    from tecs_hardware_kbc_spark.operators.extract import grams_col
-
-    sent = sentences.select(
-        "url", "position",
-        F.col("words").alias("_words"),
-        F.transform(grams_col(), lambda g: g["span"]).alias("_sent_grams"),
-    )
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("url").orderBy("position")
-    sent = sent.withColumn(
-        "_neighbor_grams",
-        F.concat(
-            F.coalesce(F.lag("_sent_grams", 1).over(w), F.array()),
-            F.coalesce(F.lead("_sent_grams", 1).over(w), F.array()),
-        ),
-    )
-    for side in (("a_", "p_") if has_part else ("a_",)):
-        out = out.join(
-            sent.select(
-                "url", F.col("position").alias(f"{side}position"),
-                F.col("_words").alias(f"_{side}words"),
-                F.col("_sent_grams").alias(f"_{side}sent"),
-                F.col("_neighbor_grams").alias(f"_{side}neighbor"),
-            ),
-            ["url", f"{side}position"], "left",
-        )
+    for side in ("a_", "p_") if has_part else ("a_",):
+        want_sent = f"{side}sent" in needs
+        want_words = want_sent or f"{side}words" in needs
+        if not want_words:
+            continue
+        cols = ["url", F.col("position").alias(f"{side}position"),
+                F.col("_words").alias(f"_{side}words")]
+        if want_sent:
+            cols += [F.col("_sent_grams").alias(f"_{side}sent"),
+                     F.col("_neighbor_grams").alias(f"_{side}neighbor")]
+        out = out.join(sent_ctx.select(*cols),
+                       ["url", f"{side}position"], "left")
     return out
 
 

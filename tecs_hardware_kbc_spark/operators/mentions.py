@@ -70,23 +70,26 @@ MENTION_COLS = ["url", "position", "mention_type", "span", "raw_span",
                 "row", "col", "tag", "page", "is_tabular"]
 
 
-def gram_space(sentences: DataFrame, n_min: int = 0, n_max: int = 3) -> DataFrame:
-    """Explode the JVM-computed gram space. ``n == 0`` = sub-token grams
-    (always included: they are unigrams of the re-split space)."""
+def gram_space(sentences: DataFrame) -> DataFrame:
+    """The FULL exploded gram table (computed once per corpus and shared by
+    every matcher and context builder — each then applies a cheap ``n``
+    filter). ``n == 0`` = sub-token / punctuation-stripped grams."""
     from tecs_hardware_kbc_spark.operators.extract import grams_col
 
     g = sentences.select(*_CTX_COLS, F.explode(grams_col()).alias("g"))
-    return (
-        g.filter((F.col("g.n") <= n_max) & ((F.col("g.n") >= n_min) | (F.col("g.n") == 0)))
-        .select(
-            *_CTX_COLS,
-            F.col("g.span").alias("raw_span"),
-            F.col("g.wi").alias("wi"),
-            F.col("g.n").alias("n"),
-            F.col("g.char_start").alias("char_start"),
-            F.col("g.char_end").alias("char_end"),
-        )
+    return g.select(
+        *_CTX_COLS,
+        F.col("g.span").alias("raw_span"),
+        F.col("g.wi").alias("wi"),
+        F.col("g.n").alias("n"),
+        F.col("g.char_start").alias("char_start"),
+        F.col("g.char_end").alias("char_end"),
     )
+
+
+def _n_filter(grams: DataFrame, n_min: int, n_max: int) -> DataFrame:
+    return grams.filter(
+        (F.col("n") <= n_max) & ((F.col("n") >= n_min) | (F.col("n") == 0)))
 
 
 def _finish(df: DataFrame, mention_type: str, span_col=None,
@@ -111,7 +114,7 @@ _expand_parts_udf = F.pandas_udf(
 )
 
 
-def part_mentions(sentences: DataFrame, gazetteer: DataFrame) -> DataFrame:
+def part_mentions(grams: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Part-number mentions: (regex ∪ dictionary ∪ filename) matchers over
     1..3-grams, then range/suffix expansion into implicit spans.
 
@@ -120,7 +123,7 @@ def part_mentions(sentences: DataFrame, gazetteer: DataFrame) -> DataFrame:
     ``levenshtein(span, doc_stem) <= 2`` as the structural analog of the
     reference's common-prefix-length test (transistor_matchers.py:34-52).
     """
-    grams = gram_space(sentences, n_min=1, n_max=3)
+    grams = _n_filter(grams, 1, 3)
     up = F.upper(F.col("raw_span"))
 
     # Expansion runs BEFORE matching (MentionNgramsPart.apply expands every
@@ -130,12 +133,20 @@ def part_mentions(sentences: DataFrame, gazetteer: DataFrame) -> DataFrame:
     # produce a matcher hit.
     part_token_anywhere = PART_RGX.removeprefix("^(?:").removesuffix(")$")
     candidates = grams.filter(
-        F.regexp_like(up, F.lit(f"(?:{part_token_anywhere})"))
-        | F.regexp_like(up, F.lit(r"^[A-Z0-9\-]{5,15}$"))
+        # cheap digit+letter gate first, expensive alternation after
+        F.regexp_like(up, F.lit(r"[0-9]"))
+        & F.regexp_like(up, F.lit(r"[A-Za-z]"))
+        & (F.regexp_like(up, F.lit(f"(?:{part_token_anywhere})"))
+           | F.regexp_like(up, F.lit(r"^[A-Z0-9\-]{5,15}$")))
     )
-    expanded = candidates.withColumn("parts", _expand_parts_udf(F.col("raw_span")))
-    exploded = expanded.select(
-        *(c for c in expanded.columns if c != "parts"),
+    # expand DISTINCT spans only (the pandas UDF sees the vocabulary, not
+    # every occurrence), then map expansions back over the gram rows
+    vocab = (
+        candidates.select("raw_span").distinct()
+        .withColumn("parts", _expand_parts_udf(F.col("raw_span")))
+    )
+    exploded = candidates.join(vocab, "raw_span").select(
+        *(c for c in candidates.columns),
         F.explode("parts").alias("part_span"),
     ).filter(~F.col("part_span").contains(" "))
 
@@ -189,10 +200,10 @@ def _normalize_temp(col):
     )
 
 
-def temp_mentions(sentences: DataFrame, kind: str) -> DataFrame:
+def temp_mentions(grams: DataFrame, kind: str) -> DataFrame:
     """stg_temp_min / stg_temp_max mentions (transistor_matchers.py:70-78)."""
     rgx = TEMP_MIN_RGX if kind == "min" else TEMP_MAX_RGX
-    grams = gram_space(sentences, n_min=1, n_max=2)
+    grams = _n_filter(grams, 1, 2)
     norm = (
         grams.withColumn("norm", _normalize_temp(F.col("raw_span")))
         .filter(F.col("norm").isNotNull())
@@ -204,10 +215,10 @@ def temp_mentions(sentences: DataFrame, kind: str) -> DataFrame:
     )
 
 
-def polarity_mentions(sentences: DataFrame) -> DataFrame:
+def polarity_mentions(grams: DataFrame, sentences: DataFrame) -> DataFrame:
     """NPN/PNP unigrams not in a 'complementary' sentence
     (transistor_matchers.py:55-67)."""
-    grams = gram_space(sentences, n_min=1, n_max=1)
+    grams = _n_filter(grams, 1, 1)
     sent_words = sentences.select(
         "url", "position", lower_arr(F.col("words")).alias("sent_words_l")
     )
@@ -222,11 +233,12 @@ def polarity_mentions(sentences: DataFrame) -> DataFrame:
                    implicit=F.upper(F.col("raw_span")) != F.col("raw_span"))
 
 
-def ce_v_max_mentions(sentences: DataFrame, row_ngrams: DataFrame) -> DataFrame:
+def ce_v_max_mentions(grams: DataFrame, sentences: DataFrame,
+                      row_ngrams: DataFrame) -> DataFrame:
     """Collector-emitter voltage mentions: value regex + CE keywords in the
     row + in-table + no vcb/base in the sentence
     (transistor_matchers.py:111-135)."""
-    grams = gram_space(sentences, n_min=1, n_max=1)
+    grams = _n_filter(grams, 1, 1)
     sent_text = sentences.select("url", "position",
                                  F.lower("text").alias("_sent_text_l"))
     m = (
@@ -265,12 +277,14 @@ def _with_row_spread(df: DataFrame, row_spread: DataFrame, alias: str) -> DataFr
     )
 
 
-def gain_mentions(sentences: DataFrame, row_ngrams: DataFrame,
-                  row_spread2: DataFrame, col_ngrams: DataFrame) -> DataFrame:
-    grams = gram_space(sentences, n_min=1, n_max=1)
+def gain_mentions(grams: DataFrame, sentences: DataFrame,
+                  row_ngrams: DataFrame, row_spread2: DataFrame,
+                  col_ngrams: DataFrame) -> DataFrame:
+    grams = _n_filter(grams, 1, 1)
     words = _right_words(sentences)
     m = (
-        grams.filter(F.regexp_like(F.col("raw_span"), F.lit(GAIN_RGX)))
+        grams
+        .filter(F.regexp_like(F.col("raw_span"), F.lit(GAIN_RGX)))
         .filter(F.trim(F.col("raw_span")) != "0")
         .filter((F.col("page") == 1) | F.col("is_tabular"))
     )
@@ -295,9 +309,10 @@ def gain_mentions(sentences: DataFrame, row_ngrams: DataFrame,
     return _finish(m, "gain")
 
 
-def current_mentions(sentences: DataFrame, row_ngrams: DataFrame,
-                     row_spread5: DataFrame, col_ngrams: DataFrame) -> DataFrame:
-    grams = gram_space(sentences, n_min=1, n_max=2)
+def current_mentions(grams: DataFrame, sentences: DataFrame,
+                     row_ngrams: DataFrame, row_spread5: DataFrame,
+                     col_ngrams: DataFrame) -> DataFrame:
+    grams = _n_filter(grams, 1, 2)
     norm = F.when(
         F.regexp_like(F.col("raw_span"), F.lit(r"^±?\s*\d+\s*\.?\s*\d*$")),
         F.regexp_replace(F.col("raw_span"), r"\s+", ""),

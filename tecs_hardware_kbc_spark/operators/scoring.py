@@ -43,7 +43,8 @@ def entity_scores(pred: DataFrame, gold: DataFrame) -> dict[str, float]:
 
 
 def threshold_sweep(entities: DataFrame, gold: DataFrame,
-                    grid: int = 100) -> DataFrame:
+                    grid: int = 100,
+                    gold_total: int | None = None) -> DataFrame:
     """Score every threshold b_k = k/(grid-1) in one pass.
 
     Input: entities with ``prob``; output: one row per k with
@@ -72,7 +73,8 @@ def threshold_sweep(entities: DataFrame, gold: DataFrame,
     spark = entities.sparkSession
     ks = spark.range(grid).select(F.col("id").cast("int").alias("k"))
     w = Window.orderBy(F.desc("k")).rowsBetween(Window.unboundedPreceding, 0)
-    gold_total = gold.select(*ENTITY_KEY).dropDuplicates().count()
+    if gold_total is None:
+        gold_total = gold.select(*ENTITY_KEY).dropDuplicates().count()
     swept = (
         ks.join(per_bucket, ks["k"] == per_bucket["k_max"], "left")
         .select("k", F.coalesce("tp_at", F.lit(0)).alias("tp_at"),

@@ -35,7 +35,12 @@ from tecs_hardware_kbc_spark.operators.canonicalize import (
     doc_alias_edges,
 )
 from tecs_hardware_kbc_spark.operators.extract import parse_pages
-from tecs_hardware_kbc_spark.operators.labeling import apply_lfs, with_context
+from tecs_hardware_kbc_spark.operators.labeling import (
+    RELATION_NEEDS,
+    apply_lfs,
+    build_sentence_context,
+    with_context,
+)
 from tecs_hardware_kbc_spark.operators.linking import (
     entities_to_triples,
     opamp_entities,
@@ -90,25 +95,27 @@ def gold_entities(gold: DataFrame) -> DataFrame:
     ).dropDuplicates()
 
 
-def extract_mentions(sentences: DataFrame, gazetteer: DataFrame,
+def extract_mentions(grams: DataFrame, sentences: DataFrame,
+                     gazetteer: DataFrame,
                      ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
     return {
-        "part": M.part_mentions(sentences, gazetteer),
-        "stg_temp_min": M.temp_mentions(sentences, "min"),
-        "stg_temp_max": M.temp_mentions(sentences, "max"),
-        "polarity": M.polarity_mentions(sentences),
-        "ce_v_max": M.ce_v_max_mentions(sentences, ctx["row"]),
-        "gain": M.gain_mentions(sentences, ctx["row"], ctx["row2"], ctx["col"]),
-        "current": M.current_mentions(sentences, ctx["row"], ctx["row5"],
-                                      ctx["col"]),
+        "part": M.part_mentions(grams, gazetteer),
+        "stg_temp_min": M.temp_mentions(grams, "min"),
+        "stg_temp_max": M.temp_mentions(grams, "max"),
+        "polarity": M.polarity_mentions(grams, sentences),
+        "ce_v_max": M.ce_v_max_mentions(grams, sentences, ctx["row"]),
+        "gain": M.gain_mentions(grams, sentences, ctx["row"], ctx["row2"],
+                                ctx["col"]),
+        "current": M.current_mentions(grams, sentences, ctx["row"],
+                                      ctx["row5"], ctx["col"]),
     }
 
 
-def build_context(sentences: DataFrame) -> dict[str, DataFrame]:
-    row = X.build_row_ngrams(sentences)
+def build_context(grams: DataFrame) -> dict[str, DataFrame]:
+    row = X.build_row_ngrams(grams)
     return {
         "row": row,
-        "col": X.build_col_ngrams(sentences),
+        "col": X.build_col_ngrams(grams),
         "row2": X.build_row_spread(row, 2),
         "row5": X.build_row_spread(row, 5),
     }
@@ -157,6 +164,8 @@ def run_kbc(
 ) -> KBCResult:
     """The flagship job. With ``gold``: per-relation threshold sweep and
     P/R/F1; without: fixed ``default_threshold``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     relations = relations or ALL_RELATIONS
 
     # localCheckpoint at every stage boundary: it caches AND truncates the
@@ -164,52 +173,95 @@ def run_kbc(
     # counts) each plan against a flat LogicalRDD instead of re-analyzing
     # the full parse->grams->LF lineage. On a cluster the checkpointed
     # variant (parquet stage tables) plays this role.
+    #
+    # Independent stages — and the six per-relation sub-pipelines — are
+    # submitted CONCURRENTLY (Spark's scheduler interleaves jobs): the
+    # dominant cost at moderate scale is per-stage scheduling latency, and
+    # overlapping jobs hides it while keeping every core busy.
     clean = ingest(pages)
-    sentences = parse_pages(clean).localCheckpoint()
-    ctx = build_context(sentences)
-    ctx = {k: v.localCheckpoint() for k, v in ctx.items()}
-    mentions = extract_mentions(sentences, gazetteer, ctx)
-    mentions = {k: v.localCheckpoint() for k, v in mentions.items()}
+    # AQE coalesces the ingest-window shuffle for ITS output size (html
+    # blobs compress to ~1 partition), which would run the parse UDF on one
+    # Python worker and starve the gram explode. Re-spread BEFORE parsing.
+    par = spark.sparkContext.defaultParallelism
+    sentences = parse_pages(clean.repartition(par)).localCheckpoint()
+    # the gram table is materialized once: higher-order-function evaluation
+    # is the expensive part (HOFs don't fully codegen), so ~10 downstream
+    # consumers must read the checkpointed rows, not re-derive them
+    grams = M.gram_space(sentences).localCheckpoint()
 
-    gold_ents = gold_entities(gold).persist() if gold is not None else None
-    parts_by_doc = (
-        gold_ents.select("doc", "part").dropDuplicates()
-        if gold_ents is not None else None
-    )
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint()
 
-    components = (
-        connected_components(doc_alias_edges(clean)).persist()
-        if canonicalize else None
-    )
+    pool = ThreadPoolExecutor(max_workers=8)
+    try:
+        row_f = pool.submit(ckpt, X.build_row_ngrams(grams))
+        col_f = pool.submit(ckpt, X.build_col_ngrams(grams))
+        sent_ctx_f = pool.submit(ckpt, build_sentence_context(sentences, grams))
+        parts_f = pool.submit(ckpt, M.part_mentions(grams, gazetteer))
+        comps_f = (
+            pool.submit(
+                lambda: connected_components(doc_alias_edges(clean)).persist())
+            if canonicalize else None
+        )
+        gold_ents = (gold_entities(gold).persist()
+                     if gold is not None else None)
+        gold_totals: dict[str, int] = {}
+        if gold_ents is not None and sweep:
+            gold_totals = {
+                r["attribute"]: r["n"]
+                for r in gold_ents.groupBy("attribute")
+                .agg(F.count("*").alias("n")).collect()
+            }
+        parts_by_doc = (
+            gold_ents.select("doc", "part").dropDuplicates()
+            if gold_ents is not None else None
+        )
 
-    result_entities: list[DataFrame] = []
-    scores: dict[str, dict] = {}
-    thresholds: dict[str, float] = {}
+        row = row_f.result()
+        row2_f = pool.submit(ckpt, X.build_row_spread(row, 2))
+        row5_f = pool.submit(ckpt, X.build_row_spread(row, 5))
+        ctx = {"row": row, "col": col_f.result(),
+               "row2": row2_f.result(), "row5": row5_f.result()}
+        sent_ctx = sent_ctx_f.result()
+        mentions = extract_mentions(grams, sentences, gazetteer, ctx)
+        mentions["part"] = parts_f.result()
+        components = comps_f.result() if comps_f else None
 
-    for rel in relations:
-        cands = relation_candidates(rel, mentions, ctx)
-        cands_ctx = with_context(cands, sentences, ctx["row"], ctx["col"])
-        scored = apply_lfs(cands_ctx, rel)
-        ents = relation_entities(rel, scored, ctx, parts_by_doc)
-        if components is not None:
-            ents = canonicalize_entities(ents, components, on="doc")
-        ents = ents.localCheckpoint()
+        def process(rel: str):
+            cands = relation_candidates(rel, mentions, ctx)
+            cands_ctx = with_context(cands, sent_ctx, ctx["row"], ctx["col"],
+                                     needs=RELATION_NEEDS[rel])
+            scored = apply_lfs(cands_ctx, rel)
+            ents = relation_entities(rel, scored, ctx, parts_by_doc)
+            if components is not None:
+                ents = canonicalize_entities(ents, components, on="doc")
+            ents = ents.localCheckpoint()
+            if sweep and gold_ents is not None:
+                rel_gold = gold_ents.filter(F.col("attribute") == rel)
+                # the best sweep row already carries tp/fp/fn/P/R/F1 at the
+                # chosen threshold — no re-scoring pass needed
+                best = best_threshold(threshold_sweep(
+                    ents, rel_gold, gold_total=gold_totals.get(rel, 0)))
+                b = float(best["b"])
+                stats = {k: best[k] for k in
+                         ("tp", "fp", "fn", "precision", "recall", "f1")}
+                stats["b"] = b
+            else:
+                b, stats = default_threshold, None
+            return ents.filter(F.col("prob") > b), b, stats
 
-        if sweep and gold_ents is not None:
-            rel_gold = gold_ents.filter(F.col("attribute") == rel)
-            # the best sweep row already carries tp/fp/fn/P/R/F1 at the
-            # chosen threshold — no re-scoring pass needed
-            best = best_threshold(threshold_sweep(ents, rel_gold))
-            b = float(best["b"])
+        futures = {rel: pool.submit(process, rel) for rel in relations}
+        result_entities: list[DataFrame] = []
+        scores: dict[str, dict] = {}
+        thresholds: dict[str, float] = {}
+        for rel in relations:
+            final, b, stats = futures[rel].result()
             thresholds[rel] = b
-            final = ents.filter(F.col("prob") > b)
-            scores[rel] = {k: best[k] for k in
-                           ("tp", "fp", "fn", "precision", "recall", "f1")}
-            scores[rel]["b"] = b
-        else:
-            thresholds[rel] = default_threshold
-            final = ents.filter(F.col("prob") > default_threshold)
-        result_entities.append(final)
+            if stats is not None:
+                scores[rel] = stats
+            result_entities.append(final)
+    finally:
+        pool.shutdown(wait=False)
 
     entities = result_entities[0]
     for e in result_entities[1:]:
@@ -237,16 +289,21 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     gazetteer = spark.read.parquet(gazetteer_path)
     gold = spark.read.parquet(gold_path) if gold_path else None
 
+    par = spark.sparkContext.defaultParallelism
     sentences = runner.run(
-        "sentences", lambda: parse_pages(ingest(pages)), inputs=["pages"]
+        "sentences",
+        lambda: parse_pages(ingest(pages).repartition(par)),
+        inputs=["pages"],
     ).persist()
+    grams = runner.run("grams", lambda: M.gram_space(sentences),
+                       inputs=["sentences"])
     ctx = {
         "row": runner.run("row_ngrams",
-                          lambda: X.build_row_ngrams(sentences),
-                          inputs=["sentences"]),
+                          lambda: X.build_row_ngrams(grams),
+                          inputs=["grams"]),
         "col": runner.run("col_ngrams",
-                          lambda: X.build_col_ngrams(sentences),
-                          inputs=["sentences"]),
+                          lambda: X.build_col_ngrams(grams),
+                          inputs=["grams"]),
     }
     ctx["row2"] = runner.run("row_spread2",
                              lambda: X.build_row_spread(ctx["row"], 2),
@@ -254,7 +311,10 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     ctx["row5"] = runner.run("row_spread5",
                              lambda: X.build_row_spread(ctx["row"], 5),
                              inputs=["row_ngrams"])
-    mentions = extract_mentions(sentences, gazetteer, ctx)
+    sent_ctx = runner.run("sentence_context",
+                          lambda: build_sentence_context(sentences, grams),
+                          inputs=["sentences", "grams"])
+    mentions = extract_mentions(grams, sentences, gazetteer, ctx)
     mentions = {
         k: runner.run(f"mentions_{k}", lambda df=v: df,
                       inputs=["sentences"])
@@ -279,7 +339,8 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
             f"scored_{rel}",
             lambda rel=rel: apply_lfs(
                 with_context(relation_candidates(rel, mentions, ctx),
-                             sentences, ctx["row"], ctx["col"]), rel),
+                             sent_ctx, ctx["row"], ctx["col"],
+                             needs=RELATION_NEEDS[rel]), rel),
             inputs=[f"mentions_{rel}", "mentions_part"],
         )
         ents = canonicalize_entities(

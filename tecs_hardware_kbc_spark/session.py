@@ -45,7 +45,9 @@ def get_spark(
         # stays memory-bounded regardless of row width.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[*] runs everything in ONE JVM: size the heap for the
+        # checkpointed stage tables or GC dominates and scaling inverts
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

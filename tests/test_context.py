@@ -28,8 +28,13 @@ def _sentences(spark):
     )
 
 
+def _grams(spark):
+    from tecs_hardware_kbc_spark.operators.mentions import gram_space
+    return gram_space(_sentences(spark))
+
+
 def test_row_ngrams(spark):
-    rn = build_row_ngrams(_sentences(spark))
+    rn = build_row_ngrams(_grams(spark))
     r1 = rn.filter(F.col("row") == 1).collect()[0]["grams"]
     assert {"Storage", "Temperature", "Storage Temperature", "-55", "to",
             "150", "55"} <= set(r1)
@@ -37,14 +42,14 @@ def test_row_ngrams(spark):
 
 
 def test_col_ngrams(spark):
-    cn = build_col_ngrams(_sentences(spark))
+    cn = build_col_ngrams(_grams(spark))
     c1 = cn.filter(F.col("col") == 1).collect()[0]["grams"]
     assert {"BC546", "-55 to 150", "100"} <= set(c1)
     assert "Parameter" not in c1
 
 
 def test_row_spread(spark):
-    rn = build_row_ngrams(_sentences(spark))
+    rn = build_row_ngrams(_grams(spark))
     sp = build_row_spread(rn, 1)
     # row 2's ±1 spread covers rows 1..3 (row 3 doesn't exist)
     r2 = set(sp.filter(F.col("row") == 2).collect()[0]["grams"])

@@ -82,7 +82,9 @@ def test_invariant_on_corpus(spark, tiny_tables):
 
 
 def test_parse_pages_distributed(spark, tiny_tables):
-    sents = parse_pages(tiny_tables["pages"])
+    from tecs_hardware_kbc_spark.pipeline import ingest
+
+    sents = parse_pages(ingest(tiny_tables["pages"]))
     assert sents.count() > 0
     # reconstructing text from sentences == stored text, per url (the same
     # invariant, asserted through the distributed path)

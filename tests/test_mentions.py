@@ -43,10 +43,11 @@ def ctx(spark):
         pd.DataFrame(rows, columns=[f.name for f in SENTENCE_SCHEMA.fields]),
         schema=SENTENCE_SCHEMA,
     ).cache()
-    row = build_row_ngrams(sents).cache()
+    grams = M.gram_space(sents).cache()
+    row = build_row_ngrams(grams).cache()
     return {
-        "sents": sents, "row": row,
-        "col": build_col_ngrams(sents).cache(),
+        "sents": sents, "grams": grams, "row": row,
+        "col": build_col_ngrams(grams).cache(),
         "row2": build_row_spread(row, 2), "row5": build_row_spread(row, 5),
     }
 
@@ -58,7 +59,7 @@ def gaz(spark):
 
 
 def test_part_mentions(ctx, gaz, spark):
-    parts = M.part_mentions(ctx["sents"], gaz)
+    parts = M.part_mentions(ctx["grams"], gaz)
     spans = {r["span"] for r in parts.select("span").distinct().collect()}
     # regex family + range expansion + header cell + complementary part
     assert {"BC546", "BC547", "BC548", "BC556"} <= spans
@@ -68,21 +69,21 @@ def test_part_mentions(ctx, gaz, spark):
 
 
 def test_temp_mentions(ctx, spark):
-    mins = M.temp_mentions(ctx["sents"], "min")
+    mins = M.temp_mentions(ctx["grams"], "min")
     assert {r["span"] for r in mins.select("span").collect()} == {"-55"}
-    maxs = M.temp_mentions(ctx["sents"], "max")
+    maxs = M.temp_mentions(ctx["grams"], "max")
     assert {r["span"] for r in maxs.select("span").collect()} == {"150"}
 
 
 def test_polarity_excludes_complementary(ctx, spark):
-    pols = M.polarity_mentions(ctx["sents"])
+    pols = M.polarity_mentions(ctx["grams"], ctx["sents"])
     rows = pols.select("span", "position").collect()
     spans = {r["span"] for r in rows}
     assert spans == {"NPN"}  # PNP only occurs in the complementary sentence
 
 
 def test_ce_v_max_row_keywords(ctx, spark):
-    volts = M.ce_v_max_mentions(ctx["sents"], ctx["row"])
+    volts = M.ce_v_max_mentions(ctx["grams"], ctx["sents"], ctx["row"])
     spans = {r["span"] for r in volts.collect()}
     assert "65" in spans     # VCEO row
     assert "80" not in spans  # VCBO row has no CE keywords
@@ -90,7 +91,7 @@ def test_ce_v_max_row_keywords(ctx, spark):
 
 
 def test_gain_mentions(ctx, spark):
-    gains = M.gain_mentions(ctx["sents"], ctx["row"], ctx["row2"], ctx["col"])
+    gains = M.gain_mentions(ctx["grams"], ctx["sents"], ctx["row"], ctx["row2"], ctx["col"])
     spans = {r["span"] for r in gains.collect()}
     assert "1.1" in spans
     # 'maximum'/'impedance' are gain filter keywords (opamp_matchers.py:40)
@@ -100,7 +101,7 @@ def test_gain_mentions(ctx, spark):
 
 
 def test_current_mentions(ctx, spark):
-    curs = M.current_mentions(ctx["sents"], ctx["row"], ctx["row5"], ctx["col"])
+    curs = M.current_mentions(ctx["grams"], ctx["sents"], ctx["row"], ctx["row5"], ctx["col"])
     spans = {r["span"] for r in curs.collect()}
     assert "±2.3" in spans
     # 'offset' is a current filter keyword (opamp_matchers.py:80) even
