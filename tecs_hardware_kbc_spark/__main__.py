@@ -1,0 +1,86 @@
+"""spark-submit entry point (north_rule: ``spark-submit --py-files`` on a
+multi-executor cluster).
+
+Usage (local or cluster — the master comes from spark-submit/env):
+
+    # generate a synthetic corpus to parquet
+    spark-submit --py-files kbc.zip -m tecs_hardware_kbc_spark gen \
+        --out /data/corpus --pages 100000
+
+    # run the full pipeline with resumable checkpoints + lineage
+    spark-submit --py-files kbc.zip -m tecs_hardware_kbc_spark run \
+        --pages /data/corpus/pages.parquet \
+        --gazetteer /data/corpus/gazetteer.parquet \
+        --gold /data/corpus/gold.parquet \
+        --out /data/kbc_out
+
+    # stream-ingest new crawls, exactly once
+    ... ingest --in /data/landing --out /data/pages --checkpoint /data/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tecs_hardware_kbc_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate synthetic corpus parquet")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+
+    r = sub.add_parser("run", help="pages -> triples with checkpoints")
+    r.add_argument("--pages", required=True)
+    r.add_argument("--gazetteer", required=True)
+    r.add_argument("--gold", default=None)
+    r.add_argument("--out", required=True)
+    r.add_argument("--relations", default=None,
+                   help="comma-separated subset of relations")
+    r.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("ingest", help="stream-ingest new page files")
+    s.add_argument("--in", dest="input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+
+    from tecs_hardware_kbc_spark.session import get_spark
+    spark = get_spark(app_name=f"kbc-{args.cmd}")
+
+    if args.cmd == "gen":
+        from tecs_hardware_kbc_spark.corpus import write_corpus
+        write_corpus(spark, args.out, n_pages=args.pages, seed=args.seed)
+        print(json.dumps({"out": args.out, "pages": args.pages}))
+        return 0
+
+    if args.cmd == "run":
+        from tecs_hardware_kbc_spark.pipeline import run_kbc_checkpointed
+        rels = args.relations.split(",") if args.relations else None
+        result = run_kbc_checkpointed(
+            spark, args.pages, args.gazetteer, args.out,
+            gold_path=args.gold, relations=rels,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({
+            "triples": result.triples.count(),
+            "scores": result.scores,
+            "thresholds": result.thresholds,
+        }))
+        return 0
+
+    if args.cmd == "ingest":
+        from tecs_hardware_kbc_spark.streaming.ingest import ingest_available_now
+        ingest_available_now(spark, args.input, args.out, args.checkpoint)
+        print(json.dumps({"ingested_to": args.out}))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,7 +91,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
                       _sign_bucket(F.col(vec_col), hp).alias("bucket"))
     # probe set: the query bucket plus every bucket within probe_bits flips
-    probes = [0] + ([2 ** p for p in range(planes)] if probe_bits >= 1 else [])
+    probes = [0]
+    if probe_bits >= 1:
+        probes += [2 ** p for p in range(planes)]
+    if probe_bits >= 2:
+        probes += [2 ** p | 2 ** q
+                   for p in range(planes) for q in range(p + 1, planes)]
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         _sign_bucket(F.col(vec_col), hp).alias("qbucket"),
