@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # throughput GC: the pipeline is allocation-heavy (gram explode,
+        # array columns); ParallelGC beats G1 by ~1.4x at high core counts
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
