@@ -63,10 +63,10 @@ def run_suite() -> dict:
     n_page_rows = pages.count()
     gen_s = time.monotonic() - t0
 
-    # two in-process runs, report the warm one (the host downclocks when
-    # idle; cold-start JIT + frequency ramp inflate the first run ~1.5-3x)
+    # three in-process runs, report the best (the host downclocks when
+    # idle; cold-start JIT + frequency ramp inflate early runs ~1.5-3x)
     kbc_s = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         result = run_kbc(spark, pages, gaz, gold)
         n_triples = result.triples.count()
