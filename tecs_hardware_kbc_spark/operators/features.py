@@ -1,0 +1,157 @@
+"""Feature layer + discriminative model (SURVEY A5, §3 steps 5/8).
+
+The reference featurizes candidates into a sparse 0/1 matrix whose key
+space is frozen on the training split (``Featurizer.apply(split=0,
+train=True)``, ``transistors.py:350-376``) and trains a multi-task logistic
+regression over it (Emmental, ``transistors.py:471-567``). Spark-native
+re-expression:
+
+* ``featurize``       — sparse-by-name features: one ``array<string>`` of
+  feature keys per candidate, derived from the same context arrays the LFs
+  read (row/col/aligned ngrams, page, tag, alignment) — one JVM select, no
+  Python;
+* ``feature_vocabulary`` — the frozen key space: distinct keys of the
+  training split with dense indices;
+* ``encode_features`` — keys -> sorted index arrays via an explode + join
+  against the (broadcast) vocabulary;
+* ``fit_logreg`` — driver-side logistic regression on the collected
+  training matrix (the reference's train matrices fit on one node too;
+  ~1.5M x sparse). numpy, deterministic seed;
+* ``predict_logreg`` — distributed inference: broadcast weight map, score =
+  sigmoid(bias + sum of weights over the candidate's feature indices) as a
+  JVM aggregate over the index array.
+
+The default pipeline scores with LF vote aggregation (it clears the P/R
+gate); this layer provides the reference's model-parity path and is
+exercised end-to-end by tests/test_features.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.context import lower_arr
+
+
+def _tagged(prefix: str, arr: Column, cap: int = 40) -> Column:
+    """Tag + cap a gram array as feature keys: ['row:storage', ...]."""
+    return F.transform(
+        F.slice(F.array_distinct(lower_arr(arr)), 1, cap),
+        lambda g: F.concat(F.lit(prefix), g),
+    )
+
+
+def featurize(cands_ctx: DataFrame) -> DataFrame:
+    """Candidate frame (post ``with_context``) -> + ``features`` column.
+
+    Key families mirror fonduer's core textual/structural/tabular feature
+    library (ngrams in the attr row/col, alignment flags, page, html tag,
+    span shape) — the ones its LFs and classifier actually consume.
+    """
+    has_part = "p_span" in cands_ctx.columns
+    parts: list[Column] = []
+    if "_a_row" in cands_ctx.columns:
+        parts.append(_tagged("row:", F.col("_a_row")))
+    if "_a_col" in cands_ctx.columns:
+        parts.append(_tagged("col:", F.col("_a_col")))
+    if "_a_sent" in cands_ctx.columns:
+        parts.append(_tagged("sent:", F.col("_a_sent")))
+    structural = F.array(
+        F.concat(F.lit("page:"), F.col("a_page").cast("string")),
+        F.concat(F.lit("tag:"), F.coalesce(F.col("a_tag"), F.lit(""))),
+        F.concat(F.lit("tabular:"), F.col("a_is_tabular").cast("string")),
+        F.concat(F.lit("span_shape:"),
+                 F.regexp_replace(
+                     F.regexp_replace(F.col("a_span"), r"[0-9]", "9"),
+                     r"[A-Za-z]", "a")),
+    )
+    parts.append(structural)
+    if has_part:
+        parts.append(F.array(
+            F.concat(F.lit("same_table:"),
+                     (F.col("p_table_id").isNotNull()
+                      & (F.col("p_table_id") == F.col("a_table_id")))
+                     .cast("string")),
+            F.concat(F.lit("same_row:"),
+                     (F.col("p_row") == F.col("a_row")).cast("string")),
+            F.concat(F.lit("same_col:"),
+                     (F.col("p_col") == F.col("a_col")).cast("string")),
+        ))
+    features = F.array_distinct(F.concat(*parts)) if len(parts) > 1 \
+        else F.array_distinct(parts[0])
+    return cands_ctx.withColumn("features", features)
+
+
+def feature_vocabulary(featurized_train: DataFrame) -> DataFrame:
+    """Frozen key space from the TRAINING split only (transistors.py:353):
+    (key string, idx int), indices dense and deterministic (sorted keys)."""
+    from pyspark.sql.window import Window
+
+    keys = featurized_train.select(
+        F.explode("features").alias("key")).distinct()
+    w = Window.orderBy("key")
+    return keys.withColumn("idx", F.row_number().over(w) - 1)
+
+
+def encode_features(featurized: DataFrame, vocab: DataFrame,
+                    id_cols: list[str]) -> DataFrame:
+    """features(array<string>) -> sorted index array (unknown keys from
+    non-train splits drop out, as in the reference's frozen key space)."""
+    exploded = featurized.select(*id_cols, F.explode("features").alias("key"))
+    joined = exploded.join(F.broadcast(vocab), "key")
+    return (
+        joined.groupBy(*id_cols)
+        .agg(F.array_sort(F.collect_list("idx")).alias("feature_idx"))
+    )
+
+
+def fit_logreg(encoded_train: DataFrame, label_col: str, vocab_size: int,
+               epochs: int = 40, lr: float = 0.5, l2: float = 1e-4,
+               seed: int = 1234) -> dict:
+    """Driver-side logistic regression (full-batch gradient descent) over
+    the collected sparse training matrix. Deterministic."""
+    rows = encoded_train.select("feature_idx", label_col).collect()
+    n = len(rows)
+    if n == 0:
+        return {"weights": {}, "bias": 0.0}
+    y = np.array([float(r[label_col]) for r in rows])
+    idxs = [r["feature_idx"] for r in rows]
+    w = np.zeros(vocab_size)
+    b = 0.0
+    rng = np.random.RandomState(seed)  # reserved for minibatch extensions
+    _ = rng
+    for _ in range(epochs):
+        z = np.array([w[ix].sum() + b for ix in idxs])
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        grad_w = np.zeros(vocab_size)
+        for e, ix in zip(err, idxs):
+            grad_w[ix] += e
+        grad_w = grad_w / n + l2 * w
+        w -= lr * grad_w
+        b -= lr * float(err.mean())
+    return {"weights": {int(i): float(v) for i, v in enumerate(w) if v != 0.0},
+            "bias": float(b)}
+
+
+def predict_logreg(encoded: DataFrame, model: dict,
+                   out_col: str = "prob_lr") -> DataFrame:
+    """Distributed inference: broadcast the weight map, score via a JVM
+    aggregate over the index array (no Python)."""
+    weights = model["weights"]
+    spark = encoded.sparkSession
+    if weights:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv])
+    else:
+        wmap = F.create_map(F.lit(-1), F.lit(0.0))
+    z = F.aggregate(
+        "feature_idx", F.lit(float(model["bias"])),
+        lambda acc, i: acc + F.coalesce(
+            F.element_at(wmap, i.cast("int")), F.lit(0.0)),
+    )
+    _ = spark
+    return encoded.withColumn(out_col, F.lit(1.0) / (1.0 + F.exp(-z)))

@@ -268,6 +268,54 @@ def current_lfs() -> dict[str, Column]:
     }
 
 
+def weighted_marginals(scored: DataFrame,
+                       clip: float = 0.95) -> DataFrame:
+    """Accuracy-weighted vote aggregation — the agreement-statistics
+    stand-in for the Snorkel LabelModel (transistors.py:68-77), fully
+    distributed:
+
+    1. provisional label per candidate = sign of the unweighted vote margin;
+    2. each LF's accuracy = its agreement rate with the provisional label
+       over its non-abstain votes (one explode + groupBy);
+    3. log-odds weights w_j = log(acc_j / (1 - acc_j)), accuracies clipped
+       to [1-clip, clip];
+    4. prob = sigmoid(sum of w_j * (2 v_j - 1) over non-abstain votes).
+
+    Replaces the ``prob`` column; keeps everything else.
+    """
+    margin = F.aggregate(
+        "lf_votes", F.lit(0),
+        lambda acc, v: acc + F.when(v == TRUE, 1)
+        .when(v == FALSE, -1).otherwise(0))
+    base = scored.withColumn("_y", F.when(margin >= 0, 1).otherwise(0))
+
+    votes = base.select(
+        "_y", F.posexplode("lf_votes").alias("lf_idx", "vote")
+    ).filter(F.col("vote") != ABSTAIN)
+    acc = (
+        votes.groupBy("lf_idx")
+        .agg(F.avg((F.col("vote") == F.col("_y")).cast("double"))
+             .alias("acc"))
+        .withColumn("acc", F.least(F.greatest("acc", F.lit(1 - clip)),
+                                   F.lit(clip)))
+        .withColumn("w", F.log(F.col("acc") / (1 - F.col("acc"))))
+    )
+    weights = {r["lf_idx"]: r["w"] for r in acc.collect()}
+    first = scored.select(F.size("lf_votes").alias("n")).first()
+    if not weights or first is None:
+        return scored
+    # weight array sized to the FULL LF count (an always-abstaining LF gets
+    # weight 0, not a truncated zip)
+    warr = F.array(*[F.lit(float(weights.get(i, 0.0)))
+                     for i in range(first["n"])])
+    z = F.aggregate(
+        F.zip_with("lf_votes", warr,
+                   lambda v, w: F.when(v == ABSTAIN, 0.0)
+                   .otherwise(w * (2 * v - 1))),
+        F.lit(0.0), lambda a, x: a + x)
+    return base.drop("_y").withColumn("prob", F.lit(1.0) / (1.0 + F.exp(-z)))
+
+
 LF_SETS = {
     "stg_temp_min": lambda: stg_temp_lfs("min"),
     "stg_temp_max": lambda: stg_temp_lfs("max"),

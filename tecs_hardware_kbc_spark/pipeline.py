@@ -161,9 +161,14 @@ def run_kbc(
     canonicalize: bool = True,
     sweep: bool = True,
     default_threshold: float = 0.5,
+    supervision: str = "votes",
 ) -> KBCResult:
     """The flagship job. With ``gold``: per-relation threshold sweep and
-    P/R/F1; without: fixed ``default_threshold``."""
+    P/R/F1; without: fixed ``default_threshold``.
+
+    ``supervision``: "votes" (Laplace vote ratio) or "weighted_votes"
+    (agreement-statistics accuracy weighting — the LabelModel stand-in).
+    """
     from concurrent.futures import ThreadPoolExecutor
 
     relations = relations or ALL_RELATIONS
@@ -235,6 +240,10 @@ def run_kbc(
             cands_ctx = with_context(cands, sent_ctx, ctx["row"], ctx["col"],
                                      needs=RELATION_NEEDS[rel])
             scored = apply_lfs(cands_ctx, rel)
+            if supervision == "weighted_votes":
+                from tecs_hardware_kbc_spark.operators.labeling import (
+                    weighted_marginals)
+                scored = weighted_marginals(scored)
             ents = relation_entities(rel, scored, ctx, parts_by_doc)
             if components is not None:
                 ents = canonicalize_entities(ents, components, on="doc")

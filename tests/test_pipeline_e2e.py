@@ -37,6 +37,14 @@ def test_precision_recall_gate(result):
         assert s["precision"] >= 0.9, (rel, s)
 
 
+def test_weighted_supervision_clears_gate(spark, tiny_tables):
+    res = run_kbc(spark, tiny_tables["pages"], tiny_tables["gaz"],
+                  tiny_tables["gold"], supervision="weighted_votes",
+                  relations=["stg_temp_max", "polarity"])
+    for rel, s in res.scores.items():
+        assert s["precision"] >= 0.9 and s["recall"] >= 0.9, (rel, s)
+
+
 def test_triples_shape(result):
     triples = result.triples
     assert triples.columns == ["subj", "pred", "obj", "prob"]
