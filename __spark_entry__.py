@@ -475,6 +475,22 @@ def emb_near_dup(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+@_q("doc_word_counter", f"""
+SELECT word, count(*) AS n
+FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+GROUP BY word HAVING count(*) >= 10
+""")
+def doc_word_counter(spark, sf):
+    """A4 word counter (collect_word_counter, transistors.py:473)."""
+    from tecs_hardware_kbc_spark.operators.dedup import norm_text
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(norm_text(F.col("text")), " ")).alias("word"))
+        .groupBy("word").count().withColumnRenamed("count", "n")
+        .filter(F.col("n") >= 10)
+    )
+
+
 # --------------------------------------------------------------------------
 # Rows-only entries (non-SQL-expressible: full KBC pipeline, LSH ANN,
 # multimodal plumbing) — the driver records the weaker check; pytest holds
