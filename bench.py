@@ -76,9 +76,13 @@ def run_suite() -> dict:
 
     qs = E.queries()
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: filters cold-JIT/downclock spikes
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            d = time.monotonic() - t0
+            best = d if best is None else min(best, d)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     return {
