@@ -18,8 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
-from tecs_hardware_kbc_spark.operators.context import lower_arr
-
 PART_LIKE_RGX = r"^(?:[0-9]+[A-Z]+|[A-Z]+[0-9]+)[0-9A-Z]*$"  # throttlers.py:17
 
 

@@ -23,8 +23,6 @@ char_start, char_end, table_id, row, col, tag, page, is_tabular``.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 import pyspark.sql.types as T

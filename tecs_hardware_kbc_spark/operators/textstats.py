@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
-from tecs_hardware_kbc_spark.operators.dedup import md5_u32, norm_text
+from tecs_hardware_kbc_spark.operators.dedup import norm_text
 
 # tiny function-word inventories; enough signal for a heuristic lang-id
 STOPWORDS = {
