@@ -515,6 +515,9 @@ def kbc_sentences(spark, sf):
     from tecs_hardware_kbc_spark.operators.extract import parse_pages
     pages, _, _ = _synthetic_corpus(spark)
     s = parse_pages(pages).drop("grams")
+    # the driver canonicalizer sorts column values in pandas — array columns
+    # are unhashable there, so ship words as a joined string
+    s = s.withColumn("words", F.array_join("words", " "))
     return s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
 
 
@@ -545,13 +548,31 @@ def dedup_minhash_pairs(spark, sf):
     return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
 
 
-@_q("media_features")
+def _media_sql() -> str:
+    """The fake decode is md5-derived, so DuckDB reproduces it exactly:
+    byte i of the digest = ('0x' || substr(md5(text), 2i+1, 2))::int."""
+    byte = "(('0x' || substr(md5(text), {o}, 2))::int)"
+    b = [byte.format(o=2 * i + 1) for i in range(8)]
+    feats = ", ".join(f"round({x} / 255.0, 6)" for x in b)
+    return f"""
+SELECT 'm' || doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+       64 + {b[0]} % 192 AS width,
+       64 + {b[1]} % 192 AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 1 + {b[2]} % 32 ELSE 1 END AS n_frames,
+       to_json([{feats}]) AS features
+FROM documents WHERE doc_id < 200
+"""
+
+
+@_q("media_features", _media_sql())
 def media_features(spark, sf):
     """Multimodal plumbing: binary media column (deterministically derived
-    from the documents table) -> Arrow-batched feature extraction."""
+    from the documents table) -> Arrow-batched feature extraction. The stub
+    decode is md5-derived, so the whole path is oracle-checkable."""
     from tecs_hardware_kbc_spark.operators.multimodal import (
         extract_media_features, size_filter)
-    d = _t(spark, sf, "documents").limit(200)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
     media = d.select(
         F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
         F.lit(None).cast("string").alias("url"),
@@ -559,7 +580,13 @@ def media_features(spark, sf):
         F.encode("text", "utf-8").alias("content"),
         F.lit("application/octet-stream").alias("mime"),
     )
-    return size_filter(extract_media_features(media))
+    out = size_filter(extract_media_features(media))
+    # features are float32 from Arrow; 6-dp decimals are within float32
+    # precision, so round(double, 6) recovers the exact decimal for hashing
+    return out.withColumn(
+        "features",
+        F.to_json(F.transform(F.col("features").cast("array<double>"),
+                              lambda x: F.round(x, 6))))
 
 
 # --------------------------------------------------------------------------

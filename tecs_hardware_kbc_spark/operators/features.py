@@ -87,25 +87,52 @@ def featurize(cands_ctx: DataFrame) -> DataFrame:
 
 def feature_vocabulary(featurized_train: DataFrame) -> DataFrame:
     """Frozen key space from the TRAINING split only (transistors.py:353):
-    (key string, idx int), indices dense and deterministic (sorted keys)."""
+    (key string, idx int), indices dense and deterministic (sorted keys).
+
+    Scale-safe rank assignment: a global ``Window.orderBy`` would pull every
+    key through one partition, so instead range-partition by key (globally
+    ordered partitions), rank within each partition, and add the cumulative
+    partition offsets (a tiny driver-side list, one per partition).
+    """
     from pyspark.sql.window import Window
 
-    keys = featurized_train.select(
-        F.explode("features").alias("key")).distinct()
-    w = Window.orderBy("key")
-    return keys.withColumn("idx", F.row_number().over(w) - 1)
+    keys = (featurized_train.select(F.explode("features").alias("key"))
+            .distinct().repartitionByRange("key"))
+    parts = keys.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["n"] for r in
+              parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, total = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets)
+                       for x in (pid, offsets[pid])]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy("key")
+    return (parts.withColumn("idx", F.row_number().over(w) - 1 + off)
+            .select("key", "idx"))
 
 
 def encode_features(featurized: DataFrame, vocab: DataFrame,
                     id_cols: list[str]) -> DataFrame:
     """features(array<string>) -> sorted index array (unknown keys from
-    non-train splits drop out, as in the reference's frozen key space)."""
+    non-train splits drop out, as in the reference's frozen key space).
+
+    A candidate with zero in-vocab keys keeps an empty index array (scored
+    at bias-only by predict_logreg) rather than vanishing from the output.
+    """
     exploded = featurized.select(*id_cols, F.explode("features").alias("key"))
     joined = exploded.join(F.broadcast(vocab), "key")
-    return (
+    encoded = (
         joined.groupBy(*id_cols)
         .agg(F.array_sort(F.collect_list("idx")).alias("feature_idx"))
     )
+    all_ids = featurized.select(*id_cols).dropDuplicates()
+    return all_ids.join(encoded, id_cols, "left").withColumn(
+        "feature_idx",
+        F.coalesce("feature_idx", F.array().cast("array<int>")))
 
 
 def fit_logreg(encoded_train: DataFrame, label_col: str, vocab_size: int,
@@ -121,8 +148,6 @@ def fit_logreg(encoded_train: DataFrame, label_col: str, vocab_size: int,
     idxs = [r["feature_idx"] for r in rows]
     w = np.zeros(vocab_size)
     b = 0.0
-    rng = np.random.RandomState(seed)  # reserved for minibatch extensions
-    _ = rng
     for _ in range(epochs):
         z = np.array([w[ix].sum() + b for ix in idxs])
         p = 1.0 / (1.0 + np.exp(-z))
@@ -142,7 +167,6 @@ def predict_logreg(encoded: DataFrame, model: dict,
     """Distributed inference: broadcast the weight map, score via a JVM
     aggregate over the index array (no Python)."""
     weights = model["weights"]
-    spark = encoded.sparkSession
     if weights:
         wmap = F.create_map(
             *[F.lit(x) for kv in weights.items() for x in kv])
@@ -153,5 +177,4 @@ def predict_logreg(encoded: DataFrame, model: dict,
         lambda acc, i: acc + F.coalesce(
             F.element_at(wmap, i.cast("int")), F.lit(0.0)),
     )
-    _ = spark
     return encoded.withColumn(out_col, F.lit(1.0) / (1.0 + F.exp(-z)))

@@ -122,8 +122,10 @@ def with_context(cands: DataFrame, sent_ctx: DataFrame,
 
 
 def _left_words(side: str, k: int) -> Column:
-    """k words left of the mention within its sentence (get_left_ngrams)."""
-    start = F.greatest(F.col(f"{side}wi") - k + 1, F.lit(0)) + 1
+    """The k words left of the mention within its sentence — 0-based word
+    indices [wi-k, wi-1], matching get_left_ngrams(window=k)
+    (transistor_lfs.py:74,85)."""
+    start = F.greatest(F.col(f"{side}wi") - k, F.lit(0)) + 1
     length = F.col(f"{side}wi") - (start - 1)
     return lower_arr(F.slice(F.col(f"_{side}words"), start, length))
 

@@ -124,7 +124,10 @@ def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
         mag = F.when(F.col("unit") == "mhz", base * 1000.0).otherwise(base)
         values = F.array(_fmt(mag))
     else:
-        mag = F.when(F.col("unit") == "ma", base * 1000.0).otherwise(base)
+        # display unit is µA (opamps.py:39-49): mA -> x1e3, A -> x1e6
+        mag = (F.when(F.col("unit") == "ma", base * 1e3)
+               .when(F.col("unit") == "a", base * 1e6)
+               .otherwise(base))
         values = F.when(pm, F.array(_fmt(mag), _fmt(mag * 2))) \
                   .otherwise(F.array(_fmt(mag)))
 

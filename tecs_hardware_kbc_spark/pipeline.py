@@ -346,6 +346,9 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     result_entities = []
     scores: dict[str, dict] = {}
     thresholds: dict[str, float] = {}
+    # unary relations read the gain/current mention stages, not a stage
+    # named after the relation itself
+    mention_key = {"typ_gbp": "gain", "typ_supply_current": "current"}
     for rel in relations:
         scored = runner.run(
             f"scored_{rel}",
@@ -353,7 +356,7 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
                 with_context(relation_candidates(rel, mentions, ctx),
                              sent_ctx, ctx["row"], ctx["col"],
                              needs=RELATION_NEEDS[rel]), rel),
-            inputs=[f"mentions_{rel}", "mentions_part"],
+            inputs=[f"mentions_{mention_key.get(rel, rel)}", "mentions_part"],
         )
         ents = canonicalize_entities(
             relation_entities(rel, scored, ctx, parts_by_doc),

