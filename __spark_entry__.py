@@ -415,6 +415,74 @@ def dedup_simhash(spark, sf):
     return simhash(_t(spark, sf, "documents"))
 
 
+def _simhash64_sql(src: str = "documents") -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h_{half} // {2 ** b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS {half}{b}"
+        for half in ("lo", "hi") for b in range(32))
+
+    def recomb(half: str) -> str:
+        return " + ".join(f"(CASE WHEN {half}{b} > 0 THEN {2 ** b} ELSE 0 END)"
+                          for b in range(32))
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS tok FROM {src})),
+hs AS (SELECT doc_id,
+  ('0x' || substr(h, 1, 8))::ubigint::bigint AS h_lo,
+  ('0x' || substr(h, 9, 8))::ubigint::bigint AS h_hi FROM toks),
+agg AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
+SELECT doc_id, ({recomb('hi')})::bigint AS sim_hi,
+       ({recomb('lo')})::bigint AS sim_lo FROM agg
+"""
+
+
+@_q("dedup_simhash64", _simhash64_sql())
+def dedup_simhash64(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import simhash64
+    return simhash64(_t(spark, sf, "documents"))
+
+
+# near-dup input: each doc < 150 plus a one-token-appended twin (the corpus
+# has no planted near-dups, so we plant deterministic ones)
+_NEARDUP_SRC = """
+(SELECT doc_id, text FROM documents WHERE doc_id < 150
+ UNION ALL
+ SELECT doc_id + 10000 AS doc_id, text || ' zq' AS text
+ FROM documents WHERE doc_id < 150)
+"""
+
+
+def _simhash_hamming_sql() -> str:
+    return f"""
+WITH sim AS ({_simhash64_sql(_NEARDUP_SRC)}),
+blocks AS (
+  SELECT doc_id, sim_hi, sim_lo, b.i AS block_idx,
+    CASE b.i WHEN 0 THEN sim_lo % 65536 WHEN 1 THEN sim_lo // 65536
+             WHEN 2 THEN sim_hi % 65536 ELSE sim_hi // 65536 END AS block_val
+  FROM sim, unnest([0, 1, 2, 3]) AS b(i))
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+  (bit_count(xor(x.sim_hi, y.sim_hi))
+   + bit_count(xor(x.sim_lo, y.sim_lo)))::int AS hamming
+FROM blocks x JOIN blocks y USING (block_idx, block_val)
+WHERE x.doc_id < y.doc_id
+  AND bit_count(xor(x.sim_hi, y.sim_hi))
+      + bit_count(xor(x.sim_lo, y.sim_lo)) <= 3
+"""
+
+
+@_q("dedup_simhash_hamming", _simhash_hamming_sql())
+def dedup_simhash_hamming(spark, sf):
+    from tecs_hardware_kbc_spark.operators.dedup import simhash_near_duplicates
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    twins = d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat("text", F.lit(" zq")).alias("text"))
+    src = d.select("doc_id", "text").unionByName(twins)
+    out = simhash_near_duplicates(src, max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 @_q("dedup_ngram_jaccard", f"""
 WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
@@ -521,6 +589,200 @@ def kbc_sentences(spark, sf):
     return s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
 
 
+# --------------------------------------------------------------------------
+# KBC-core oracle entries: the gram-space kernel, the candidate pairing
+# join + throttler, and LF vote aggregation, each run on inputs derived
+# deterministically from the documents table so DuckDB can replay them.
+# --------------------------------------------------------------------------
+
+_PUNCT_STRIP_SQL = (
+    "^[.,;:!?()\\[\\]{}\"'']+|[.,;:!?()\\[\\]{}\"'']+$"
+)
+
+
+def _gram_space_sql() -> str:
+    """DuckDB replay of extract.grams_col (word 1..3-grams with char
+    offsets + '-'/'/' sub-token grams + punctuation-stripped grams)."""
+    return f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+           WHERE doc_id < 40),
+tok AS (SELECT doc_id, words, i, words[i] AS w
+        FROM d, unnest(generate_series(1, len(words))) AS t(i)),
+off AS (SELECT doc_id, words, i, w,
+        coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+        FROM tok),
+wg AS (SELECT doc_id, array_to_string(words[i:i+g-1], ' ') AS span,
+         i - 1 AS wi, g AS n, cs AS char_start,
+         cs + length(array_to_string(words[i:i+g-1], ' ')) - 1 AS char_end
+       FROM off, unnest(generate_series(1, least(3, len(words) - i + 1)))
+            AS t(g)),
+sub AS (SELECT doc_id, p AS span, i - 1 AS wi, 0 AS n,
+         cs + strpos(w, p) - 1 AS char_start,
+         cs + strpos(w, p) + length(p) - 2 AS char_end
+        FROM off, unnest(string_split_regex(w, '[-/]')) AS t(p)
+        WHERE p != '' AND p != w),
+strip AS (SELECT doc_id, p AS span, i - 1 AS wi, 0 AS n,
+         cs + strpos(w, p) - 1 AS char_start,
+         cs + strpos(w, p) + length(p) - 2 AS char_end
+        FROM (SELECT doc_id, i, w, cs,
+              regexp_replace(w, '{_PUNCT_STRIP_SQL}', '', 'g') AS p FROM off)
+        WHERE p != '' AND p != w)
+SELECT * FROM wg UNION ALL SELECT * FROM sub UNION ALL SELECT * FROM strip
+"""
+
+
+@_q("kbc_gram_space", _gram_space_sql())
+def kbc_gram_space(spark, sf):
+    """P1 gram-space kernel (MentionNgrams(n_max=3, split_tokens=['-','/']))
+    over the documents table — every span/offset hash-checked vs DuckDB."""
+    from tecs_hardware_kbc_spark.operators.dedup import norm_text
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    words = F.split(norm_text(F.col("text")), " ")
+    return d.select("doc_id", F.explode(grams_col(words)).alias("g")).select(
+        "doc_id", F.col("g.span").alias("span"), F.col("g.wi").alias("wi"),
+        F.col("g.n").alias("n"), F.col("g.char_start").alias("char_start"),
+        F.col("g.char_end").alias("char_end"))
+
+
+def _synth_mention_cols(kind: str) -> str:
+    """(SQL) deterministic mention attributes from md5(doc_id:kind:i)."""
+    h = f"md5(doc_id::varchar || ':{kind}:' || i::varchar)"
+    byte = "(('0x' || substr({h}, {o}, 2))::int)"
+    b = [byte.format(h=h, o=2 * j + 1) for j in range(4)]
+    return (f"'doc://' || doc_id AS url, '{kind}' || i AS span, "
+            f"i AS position, {b[0]} % 2 AS table_id, {b[1]} % 4 AS row, "
+            f"{b[2]} % 4 AS col, {b[3]} % 4 > 0 AS is_tabular")
+
+
+def _candidate_join_sql() -> str:
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+parts AS (SELECT {_synth_mention_cols('part')}
+          FROM ids, unnest(generate_series(0, 3)) AS t(i)),
+attrs AS (SELECT {_synth_mention_cols('temp')}
+          FROM ids, unnest(generate_series(0, 3)) AS t(i))
+SELECT p.url, p.span AS p_span, a.span AS a_span,
+       p.table_id AS p_table_id, a.table_id AS a_table_id,
+       p.row AS p_row, a.row AS a_row, p.col AS p_col, a.col AS a_col,
+       p.is_tabular AS p_is_tabular
+FROM parts p JOIN attrs a USING (url)
+WHERE CASE WHEN p.table_id = a.table_id
+           THEN p.row = a.row OR p.col = a.col
+           ELSE p.is_tabular END
+"""
+
+
+def _synth_mentions(d: DataFrame, kind: str, k: int = 4) -> DataFrame:
+    base = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                    .alias("i"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{kind}:"),
+                       F.col("i").cast("string")))
+
+    def byte(j: int):
+        return F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int")
+
+    return base.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.concat(F.lit(kind), F.col("i")).alias("span"),
+        F.col("i").alias("position"),
+        (byte(0) % 2).alias("table_id"),
+        (byte(1) % 4).alias("row"),
+        (byte(2) % 4).alias("col"),
+        (byte(3) % 4 > 0).alias("is_tabular"),
+    )
+
+
+@_q("kbc_candidate_join", _candidate_join_sql())
+def kbc_candidate_join(spark, sf):
+    """J1/J2 per-doc pairing join + stg_temp throttler on deterministic
+    synthetic mentions — the throttler predicate hash-checked vs DuckDB."""
+    from tecs_hardware_kbc_spark.operators.candidates import stg_temp_candidates
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    cands = stg_temp_candidates(_synth_mentions(d, "part"),
+                                _synth_mentions(d, "temp"))
+    return cands.select("url", "p_span", "a_span", "p_table_id", "a_table_id",
+                        "p_row", "a_row", "p_col", "a_col", "p_is_tabular")
+
+
+def _lf_votes_sql() -> str:
+    """DuckDB replay of apply_lfs('stg_temp_max'): the 11-LF vote array +
+    Laplace marginal over a synthetic candidate frame."""
+    h = "md5(doc_id::varchar)"
+    byte = "(('0x' || substr({h}, {o}, 2))::int)"
+    b = [byte.format(h=h, o=2 * j + 1) for j in range(3)]
+    al = "list_concat(a_row, a_col)"
+    kw = {
+        "storage_row": "CASE WHEN list_has_any(a_row, ['storage']) THEN 1 ELSE -1 END",
+        "temperature_row": "CASE WHEN list_has_any(a_row, ['temperature']) THEN 1 ELSE -1 END",
+        "operating_row": "CASE WHEN list_has_any(a_row, ['operating']) THEN 0 ELSE -1 END",
+        "tstg_row": "CASE WHEN list_has_any(a_row, ['tstg','stg','ts']) THEN 1 ELSE -1 END",
+        "not_temp_relevant": f"CASE WHEN NOT list_has_any({al}, ['storage','temperature','tstg','stg','ts']) THEN 0 ELSE -1 END",
+        "voltage_aligned": f"CASE WHEN list_has_any({al}, ['voltage','cbo','ceo','ebo','v']) THEN 0 ELSE -1 END",
+        "current_aligned": f"CASE WHEN list_has_any({al}, ['current','dc','ic']) THEN 0 ELSE -1 END",
+        "collector_aligned": f"CASE WHEN list_has_any({al}, ['collector','collector-current','collector-base','collector-emitter']) THEN 0 ELSE -1 END",
+        "temp_on_high_page": "CASE WHEN a_page > 2 THEN 0 ELSE -1 END",
+        "to_left": "CASE WHEN list_contains(words[greatest(a_wi - 2, 0) + 1 : a_wi], 'to') THEN 1 ELSE -1 END",
+        "negative_number_left": r"CASE WHEN len(list_filter(words[greatest(a_wi - 4, 0) + 1 : a_wi], x -> regexp_matches(x, '^-\s*\d+'))) > 0 THEN 1 ELSE -1 END",
+    }
+    names = sorted(kw)
+    votes = ", ".join(f"{kw[n]} AS v_{n}" for n in names)
+    arr = "[" + ", ".join(f"v_{n}" for n in names) + "]"
+    return f"""
+WITH d AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+           WHERE doc_id < 100),
+frame AS (SELECT doc_id, words,
+    {b[0]} % greatest(len(words), 1) AS a_wi,
+    1 + {b[1]} % 4 AS a_page,
+    words[greatest({b[0]} % greatest(len(words), 1) - 2, 0) + 1 :
+          greatest({b[0]} % greatest(len(words), 1) - 2, 0) + 5] AS a_row,
+    words[1 + {b[2]} % greatest(len(words) - 2, 1) :
+          3 + {b[2]} % greatest(len(words) - 2, 1)] AS a_col
+  FROM d),
+voted AS (SELECT doc_id, a_wi, a_page, words, {votes} FROM frame)
+SELECT doc_id, a_wi, a_page,
+  array_to_string({arr}, ',') AS lf_votes,
+  round((1.0 + len(list_filter({arr}, x -> x = 1)))
+        / (2.0 + len(list_filter({arr}, x -> x != -1))), 6) AS prob
+FROM voted
+"""
+
+
+@_q("kbc_lf_votes", _lf_votes_sql())
+def kbc_lf_votes(spark, sf):
+    """A2 LF vote array + Laplace marginal (apply_lfs) on a synthetic
+    candidate-with-context frame — votes and prob hash-checked vs DuckDB."""
+    from tecs_hardware_kbc_spark.operators.dedup import norm_text
+    from tecs_hardware_kbc_spark.operators.labeling import apply_lfs
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    words = F.split(norm_text(F.col("text")), " ")
+    h = F.md5(F.col("doc_id").cast("string"))
+
+    def byte(j: int):
+        return F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int")
+
+    wi = byte(0) % F.greatest(F.size(words), F.lit(1))
+    row_start = F.greatest(wi - 2, F.lit(0)) + 1
+    col_start = F.lit(1) + byte(2) % F.greatest(F.size(words) - 2, F.lit(1))
+    frame = d.select(
+        "doc_id",
+        words.alias("_a_words"),
+        wi.alias("a_wi"),
+        F.lit(1).alias("a_n"),
+        (F.lit(1) + byte(1) % 4).alias("a_page"),
+        F.slice(words, row_start, 5).alias("_a_row"),
+        F.slice(words, col_start, 3).alias("_a_col"),
+    )
+    out = apply_lfs(frame, "stg_temp_max")
+    return out.select(
+        "doc_id", "a_wi", "a_page",
+        F.array_join(F.transform("lf_votes", lambda v: v.cast("string")), ",")
+        .alias("lf_votes"),
+        F.round("prob", 6).alias("prob"),
+    )
+
+
 @_q("kbc_extract_invariant")
 def kbc_extract_invariant(spark, sf):
     """One row per url with ok=true iff re-extracted text == stored text
@@ -542,10 +804,39 @@ def sim_lsh_topk(spark, sf):
     return lsh_topk(emb, queries, k=5)
 
 
-@_q("dedup_minhash_pairs")
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4,
+                       threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    hashes = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::ubigint::bigint)"
+        f" AS m{i}" for i in range(num_hashes))
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig" for b in range(bands))
+    eq = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+                    for i in range(num_hashes))
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+       FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y USING (band, bucket)
+          WHERE x.doc_id < y.doc_id)
+SELECT a, b, round(({eq}) / {num_hashes}.0, 4) AS est_jaccard
+FROM pairs JOIN sig sa ON pairs.a = sa.doc_id
+JOIN sig sb ON pairs.b = sb.doc_id
+WHERE ({eq}) / {num_hashes}.0 >= {threshold}
+"""
+
+
+@_q("dedup_minhash_pairs", _minhash_pairs_sql())
 def dedup_minhash_pairs(spark, sf):
     from tecs_hardware_kbc_spark.operators.dedup import minhash_near_duplicates
-    return minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
+    out = minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
+    return out.withColumn("est_jaccard", F.round("est_jaccard", 4))
 
 
 def _media_sql() -> str:

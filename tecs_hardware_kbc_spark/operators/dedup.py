@@ -8,8 +8,11 @@ hashes are md5-derived so a SQL oracle can reproduce them bit-for-bit):
 * minhash + LSH  — shingle -> k minhashes -> banded buckets -> bucket join;
                    candidate pairs verified by signature similarity. The
                    scale path: no all-pairs join ever materializes;
-* simhash        — 16-bit sign-aggregated token fingerprint; near-dups =
-                   equal simhash (or small hamming distance);
+* simhash        — sign-aggregated token fingerprint. Scale path =
+                   ``simhash64`` + ``simhash_near_duplicates`` (4x16-bit
+                   block banding, EXACT for hamming <= 3); the 16-bit
+                   ``simhash``/``simhash_duplicates`` pair stays as the
+                   compact oracle demo;
 * n-gram jaccard — exact Jaccard over word shingles via a shingle-key
                    self-join (the verification path for small candidate
                    sets; quadratic only within shingle groups);
@@ -195,10 +198,95 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, canonical_id): docs sharing an identical simhash."""
+    """(doc_id, canonical_id): docs sharing an identical simhash.
+
+    DEMO/ORACLE variant: 16 bits = 65,536 buckets, so birthday collisions
+    falsely merge unrelated docs beyond a few hundred. The scale path is
+    ``simhash64`` + ``simhash_near_duplicates`` (hamming <= 3, exact)."""
     s = simhash(docs, id_col, text_col)
     canon = s.groupBy("simhash").agg(F.min("doc_id").alias("canonical_id"))
     return s.join(canon, "simhash").select("doc_id", "canonical_id", "simhash")
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit simhash as two 32-bit halves.
+
+    Token hash bits 0-31 come from md5 hex chars 1-8, bits 32-63 from chars
+    9-16 — both reproducible in any SQL engine, so the near-dup path stays
+    oracle-checkable. One explode + one groupBy with 64 sums.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.md5("tok")).select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+    )
+    votes = []
+    for half in ("lo", "hi"):
+        votes += [
+            F.sum(
+                F.when(F.shiftright(f"h_{half}", b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_{half}{b}")
+            for b in range(32)
+        ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+
+    def recomb(half: str):
+        acc = None
+        for b in range(32):
+            term = F.when(F.col(f"_{half}{b}") > 0, 2 ** b).otherwise(0)
+            acc = term if acc is None else acc + term
+        return acc.cast("bigint")
+
+    return agg.select("doc_id", recomb("hi").alias("sim_hi"),
+                      recomb("lo").alias("sim_lo"))
+
+
+def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming): pairs with 64-bit simhash hamming distance <=
+    max_hamming, found by block banding — EXACT for max_hamming <= 3.
+
+    The 64 bits split into 4 16-bit blocks; by pigeonhole, any pair within
+    hamming distance 3 agrees on at least one whole block, so the join is
+    keyed by (block_idx, block_value) — never all-pairs. Verification
+    (bit_count of the XOR) runs only on same-block candidates.
+    """
+    s = simhash64(docs, id_col, text_col)
+    blocks = s.select(
+        "doc_id", "sim_hi", "sim_lo",
+        F.posexplode(F.array(
+            F.col("sim_lo").bitwiseAND(F.lit(65535)),
+            F.shiftright("sim_lo", 16),
+            F.col("sim_hi").bitwiseAND(F.lit(65535)),
+            F.shiftright("sim_hi", 16),
+        )).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(F.col("doc_id").alias("a"),
+                      F.col("sim_hi").alias("hi_a"),
+                      F.col("sim_lo").alias("lo_a"),
+                      "block_idx", "block_val")
+    b = blocks.select(F.col("doc_id").alias("b"),
+                      F.col("sim_hi").alias("hi_b"),
+                      F.col("sim_lo").alias("lo_b"),
+                      "block_idx", "block_val")
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .dropDuplicates()
+    )
 
 
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",

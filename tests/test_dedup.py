@@ -107,3 +107,58 @@ def test_corpus_mirrors_found_by_minhash(spark, tiny_tables):
         F.col("url").contains("-m.html")).count()
     if n_mirrors:
         assert mirror_pairs, "planted mirrors not recovered by minhash"
+
+
+def test_simhash64_hamming_near_dups(spark):
+    """64-bit simhash + block-banded hamming: finds true near-dups the
+    16-bit equal-hash dedup misses, without the 16-bit false merges."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        simhash64, simhash_near_duplicates)
+
+    long_a = " ".join(f"token{i} word{i * 7 % 97}" for i in range(120))
+    rows = [
+        (0, long_a),
+        (1, long_a + " extra"),          # true near-dup (tiny perturbation)
+        (2, " ".join(f"other{i} noun{i * 5 % 89}" for i in range(120))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert (0, 1) in pairs           # near-dup found
+    assert (0, 2) not in pairs       # unrelated docs not merged
+    assert (1, 2) not in pairs
+
+    s = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+         for r in simhash64(docs).collect()}
+    # 64-bit fingerprints of unrelated docs differ in far more than 3 bits
+    ham = bin((s[0][0] ^ s[2][0])).count("1") + \
+        bin((s[0][1] ^ s[2][1])).count("1")
+    assert ham > 3
+    # the near-dup pair is NOT an exact 64-bit match (the 16-bit
+    # equal-hash dedup could only find it by luck) but is within 3 bits
+    assert pairs[(0, 1)] <= 3
+
+
+def test_simhash_hamming_exactness_vs_bruteforce(spark):
+    """Block banding with max_hamming=3 is exact: every brute-force pair
+    within distance 3 is found (pigeonhole over 4x16-bit blocks)."""
+    from itertools import combinations
+
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        simhash64, simhash_near_duplicates)
+
+    base = " ".join(f"w{i} q{i * 3 % 53}" for i in range(80))
+    rows = [(i, base + " " + " ".join(f"pad{j}" for j in range(i)))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+            for r in simhash64(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sims), 2)
+        if bin(sims[a][0] ^ sims[b][0]).count("1")
+        + bin(sims[a][1] ^ sims[b][1]).count("1") <= 3
+    }
+    banded = {(r["a"], r["b"])
+              for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert banded == brute
