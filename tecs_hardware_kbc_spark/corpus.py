@@ -137,6 +137,16 @@ def _transistor_html(rng: random.Random, family: list[str],
     ce_vals = [rng.choice([30, 40, 45, 60, 65, 80]) for _ in family]
     ic_ma = rng.choice([100, 500, 800])
     with_junction = rng.random() < 0.3
+    # part-mismatch distractor: a same-table row pairing CE keywords with a
+    # DIFFERENT part-like token and a non-gold value. "XQ<core>" passes the
+    # part-SHAPE regex (so the part_mismatch_* / prefix LFs see it) but no
+    # part MATCHER (so it can never become a mention -> FN/precision trap
+    # only). Value 75 is outside the gold ce value set.
+    mismatch_part = f"XQ{rng.randrange(100, 900)}" \
+        if rng.random() < 0.5 else None
+    # '+ 150'-style bigram temp surface (the normalizer must drop the
+    # bigram but keep the unigram — transistor_spaces.py:243-254)
+    plus_temp = rng.random() < 0.25
     comp_part = None
     if rng.random() < 0.15:
         comp_part = f"{family[0][:2]}{rng.randrange(100, 999)}9"
@@ -156,24 +166,30 @@ def _transistor_html(rng: random.Random, family: list[str],
               + "".join(f"<th>{p}</th>" for p in head_cols)
               + "<th>Unit</th></tr>")
     nvals = len(head_cols)
+    t_max_cell = f"{t_min} to + {t_max}" if plus_temp else f"{t_min} to {t_max}"
     rows = [
         header,
         row("Collector-Emitter Voltage", "VCEO", val_cols, "V"),
         row("Collector-Base Voltage", "VCBO", [v + 15 for v in val_cols], "V"),
         row("Collector Current", "IC", [ic_ma] * nvals, "mA"),
-        row("Storage Temperature", "Tstg", [f"{t_min} to {t_max}"] * nvals, "°C"),
+        row("Storage Temperature", "Tstg", [t_max_cell] * nvals, "°C"),
         row("Operating Temperature", "Topr", ["-40 to 125"] * nvals, "°C"),
     ]
     if with_junction:
         rows.insert(4, row("Junction Temperature", "TJ", [175] * nvals, "°C"))
+    if mismatch_part:
+        rows.insert(3, row(f"{mismatch_part} Collector-Emitter Voltage",
+                           "VCEO", [75] * nvals, "V"))
 
     comp_html = (f"<p>Complementary to the {comp_part} series.</p>"
                  if comp_part else "")
+    prose_ce = (" A collector-emitter voltage above the rated maximum must "
+                "not be applied." if rng.random() < 0.3 else "")
     html = (
         f"<html><head><title>{family[0]} Datasheet - {manuf}</title></head><body>"
         f"<h1>{family[0]} {polarity} Silicon Transistor</h1>"
         f"<p>{range_expr} are {polarity} silicon epitaxial planar transistors "
-        f"designed for general purpose switching and amplification.</p>"
+        f"designed for general purpose switching and amplification.{prose_ce}</p>"
         f"{comp_html}"
         f"<table>{''.join(rows)}</table>"
         f"</body></html>"

@@ -96,6 +96,120 @@ def build_sentence_ngrams(sentences: DataFrame) -> DataFrame:
     )
 
 
+def build_head_grams(grams: DataFrame, axis: str) -> DataFrame:
+    """Grams of the head cell along an axis (fonduer ``get_head_ngrams`` /
+    ``_get_head_cell``, used by ``LF_head_ends_with_ceo`` and
+    ``LF_part_mismatch_header``, transistor_lfs.py:469-474,676-689):
+
+    * axis='col' -> the cell at the minimum row of each column (the column
+      header) -> ``(url, table_id, col, grams)``;
+    * axis='row' -> the cell at the minimum col of each row (the row label)
+      -> ``(url, table_id, row, grams)``.
+    """
+    from pyspark.sql.window import Window
+
+    other = "row" if axis == "col" else "col"
+    cells = _cell_grams(grams)
+    w = Window.partitionBy("url", "table_id", axis)
+    return (
+        cells.withColumn("_m", F.min(other).over(w))
+        .filter(F.col(other) == F.col("_m"))
+        .groupBy("url", "table_id", axis)
+        .agg(F.collect_set("span").alias("grams"))
+    )
+
+
+PART_LIKE_RGX = r"^(?:[0-9]+[A-Z]+|[A-Z]+[0-9]+)[0-9A-Z]*$"
+
+
+def build_part_expansions(grams: DataFrame) -> DataFrame:
+    """(raw_span, parts): the reference's ``_filter_non_parts``
+    (transistor_lfs.py:40-50) as a vocabulary table — every distinct gram's
+    ``expand_part_range`` expansions that match the part-like regex with
+    length > 2, lowercased. The expansion UDF runs once over the distinct
+    span vocabulary (cheap digit+letter regex pre-gate), and the axis
+    part-gram tables below join against it."""
+    from tecs_hardware_kbc_spark.operators.mentions import _expand_parts_udf
+
+    cand = (
+        grams.filter(F.col("n") <= 3)
+        .select("raw_span").distinct()
+        .filter(F.regexp_like("raw_span", F.lit(r"[0-9]"))
+                & F.regexp_like("raw_span", F.lit(r"[A-Za-z]")))
+    )
+    expanded = cand.withColumn("_exp", _expand_parts_udf(F.col("raw_span")))
+    parts = F.transform(
+        F.filter(
+            "_exp",
+            lambda p: F.regexp_like(p, F.lit(PART_LIKE_RGX))
+            & (F.length(p) > 2),
+        ),
+        lambda p: F.lower(p),
+    )
+    return (
+        expanded.select("raw_span", parts.alias("parts"))
+        .filter(F.size("parts") > 0)
+    )
+
+
+def build_axis_part_grams(grams: DataFrame, expansions: DataFrame,
+                          axis: str, n_max: int = 1) -> DataFrame:
+    """(url, table_id, row|col, parts): the lowercased part-like expansions
+    of the n <= n_max grams along the axis (the relational form of
+    ``_filter_non_parts(get_{row,col}_ngrams(c, n_max=k))``). The expansion
+    vocabulary is broadcast — the join never shuffles the gram table."""
+    cells = (
+        grams.filter(F.col("table_id").isNotNull()
+                     & (F.col("n") >= 1) & (F.col("n") <= n_max))
+        .select("url", "table_id", axis, "raw_span")
+    )
+    return (
+        cells.join(F.broadcast(expansions), "raw_span")
+        .groupBy("url", "table_id", axis)
+        .agg(F.array_distinct(F.flatten(F.collect_list("parts")))
+             .alias("parts"))
+    )
+
+
+def build_head_part_grams(grams: DataFrame, expansions: DataFrame,
+                          axis: str = "col", n_max: int = 1) -> DataFrame:
+    """(url, table_id, col, parts): part-like expansions of the column-head
+    cell's n <= n_max grams (``LF_part_mismatch_header``:
+    ``get_head_ngrams(c, n_max=1, axis='col')`` filtered through
+    ``_filter_non_parts``; n_max=3 gives the widened prefix set that
+    credits range-implied variants)."""
+    from pyspark.sql.window import Window
+
+    other = "row" if axis == "col" else "col"
+    cells = (
+        grams.filter(F.col("table_id").isNotNull()
+                     & (F.col("n") >= 1) & (F.col("n") <= n_max))
+        .select("url", "table_id", "row", "col", "raw_span")
+    )
+    w = Window.partitionBy("url", "table_id", axis)
+    heads = (cells.withColumn("_m", F.min(other).over(w))
+             .filter(F.col(other) == F.col("_m")))
+    return (
+        heads.join(F.broadcast(expansions), "raw_span")
+        .groupBy("url", "table_id", axis)
+        .agg(F.array_distinct(F.flatten(F.collect_list("parts")))
+             .alias("parts"))
+    )
+
+
+def build_row_number_counts(grams: DataFrame) -> DataFrame:
+    """(url, table_id, row, n_numbers): count of numeric unigrams in the
+    row — the structural proxy of counting 'number' ner_tags along the
+    visual line (``LF_too_many_numbers_horz``, transistor_lfs.py:434-436)."""
+    return (
+        grams.filter(
+            F.col("table_id").isNotNull() & (F.col("n") == 1)
+            & F.regexp_like("raw_span", F.lit(r"^[+-]?\d+(?:\.\d+)?$")))
+        .groupBy("url", "table_id", "row")
+        .agg(F.count("*").alias("n_numbers"))
+    )
+
+
 def lower_arr(col):
     """Lowercase every element of an array column (codegen-friendly)."""
     return F.transform(col, lambda x: F.lower(x))

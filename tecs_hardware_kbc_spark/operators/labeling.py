@@ -39,14 +39,35 @@ def _F(cond: Column) -> Column:
 
 # context pieces each relation's LFs actually probe — with_context joins
 # nothing else (the sentence-gram window join in particular is only paid by
-# polarity)
+# polarity). Keys beyond the row/col/sentence basics name entries of the
+# ``extra`` context-table dict (built once per corpus in pipeline.py).
 RELATION_NEEDS: dict[str, set[str]] = {
     "stg_temp_min": {"a_row", "a_col", "a_words"},
     "stg_temp_max": {"a_row", "a_col", "a_words"},
     "polarity": {"a_row", "a_col", "a_sent", "p_sent", "p_words"},
-    "ce_v_max": {"a_row", "a_col"},
+    "ce_v_max": {"a_row", "a_col", "p_row", "a_head", "a_row_parts3",
+                 "a_col_parts3", "a_row_parts1", "a_col_parts1",
+                 "a_colhead_parts1", "a_colhead_parts3", "a_row_nnum"},
     "typ_gbp": {"a_row", "a_col"},
     "typ_supply_current": {"a_row", "a_col"},
+}
+
+# extra-context join specs: need-name -> (ctx key, mention side, axis
+# column, output column, value column in the ctx table). Tables are keyed
+# (url, table_id, <axis>) like row/col ngrams; missing context defaults to
+# an empty array (or 0 for the count table).
+_EXTRA_JOINS: dict[str, tuple[str, str, str, str, str]] = {
+    "a_head_row": ("rowhead", "a_", "row", "_a_head_row", "grams"),
+    "a_head_col": ("colhead", "a_", "col", "_a_head_col", "grams"),
+    "a_row_parts3": ("row_parts3", "a_", "row", "_a_row_parts3", "parts"),
+    "a_col_parts3": ("col_parts3", "a_", "col", "_a_col_parts3", "parts"),
+    "a_row_parts1": ("row_parts1", "a_", "row", "_a_row_parts1", "parts"),
+    "a_col_parts1": ("col_parts1", "a_", "col", "_a_col_parts1", "parts"),
+    "a_colhead_parts1": ("colhead_parts1", "a_", "col",
+                         "_a_colhead_parts1", "parts"),
+    "a_colhead_parts3": ("colhead_parts3", "a_", "col",
+                         "_a_colhead_parts3", "parts"),
+    "a_row_nnum": ("row_nnum", "a_", "row", "_a_nnum", "n_numbers"),
 }
 
 
@@ -78,33 +99,49 @@ def build_sentence_context(sentences: DataFrame,
 
 def with_context(cands: DataFrame, sent_ctx: DataFrame,
                  row_ngrams: DataFrame, col_ngrams: DataFrame,
-                 needs: set[str] | None = None) -> DataFrame:
+                 needs: set[str] | None = None,
+                 extra: dict[str, DataFrame] | None = None) -> DataFrame:
     """Join a candidate frame to exactly the context arrays its LFs probe.
 
     All left joins on co-partitioned keys; missing context (non-tabular
     sentences) becomes empty arrays so every LF is a total function.
+    ``extra`` supplies the ce_v_max context tables (head grams, part-like
+    expansions, numeric counts — see ``_EXTRA_JOINS``); the ``a_head`` need
+    expands to the row-head + col-head joins concatenated into ``_a_head``.
     """
     has_part = "p_span" in cands.columns
-    needs = needs if needs is not None else {
+    needs = set(needs) if needs is not None else {
         "a_row", "a_col", "a_words", "a_sent", "p_sent", "p_words"}
+    extra = extra or {}
+    if "a_head" in needs:
+        needs -= {"a_head"}
+        needs |= {"a_head_row", "a_head_col"}
     out = cands
     joins = []
     if "a_row" in needs:
-        joins.append((row_ngrams, "a_", "row", "_a_row"))
+        joins.append((row_ngrams, "a_", "row", "_a_row", "grams"))
     if "a_col" in needs:
-        joins.append((col_ngrams, "a_", "col", "_a_col"))
+        joins.append((col_ngrams, "a_", "col", "_a_col", "grams"))
     if has_part and "p_row" in needs:
-        joins.append((row_ngrams, "p_", "row", "_p_row"))
-    for tbl, side, axis, name in joins:
+        joins.append((row_ngrams, "p_", "row", "_p_row", "grams"))
+    for need, (key, side, axis, name, val) in _EXTRA_JOINS.items():
+        if need in needs and key in extra:
+            joins.append((extra[key], side, axis, name, val))
+    for tbl, side, axis, name, val in joins:
         renamed = tbl.select(
             "url",
             F.col("table_id").alias(f"{side}table_id"),
             F.col(axis).alias(f"{side}{axis}"),
-            F.col("grams").alias(name),
+            F.col(val).alias(name),
         )
         out = out.join(
             renamed, ["url", f"{side}table_id", f"{side}{axis}"], "left",
-        ).withColumn(name, F.coalesce(F.col(name), F.array()))
+        )
+        default = F.lit(0) if val == "n_numbers" else F.array()
+        out = out.withColumn(name, F.coalesce(F.col(name), default))
+    if "_a_head_row" in out.columns and "_a_head_col" in out.columns:
+        out = out.withColumn(
+            "_a_head", F.concat("_a_head_row", "_a_head_col"))
 
     for side in ("a_", "p_") if has_part else ("a_",):
         want_sent = f"{side}sent" in needs
@@ -215,24 +252,119 @@ def polarity_lfs() -> dict[str, Column]:
     }
 
 
+_CE_KEYWORDS = ["collector emitter", "collector-emitter",
+                "collector - emitter"]
+_CE_ABBREVS = ["ceo", "vceo"]
+_NON_CEV_KEYWORDS = [
+    "collector-base", "collector - base", "collector base", "vcbo", "cbo",
+    "vces", "emitter-base", "emitter - base", "emitter base", "vebo", "ebo",
+    "breakdown", "cutoff", "breakdown voltage", "emitter breakdown",
+    "emitter breakdown voltage", "current",
+]
+# raw-gram part-shape test of LF_ce_keywords_no_part_in_rows
+# (transistor_lfs.py:656-665) — no expansion, no length floor
+_PART_ISH_RGX = r"^(?:[0-9]+[A-Z]+|[A-Z]+[0-9]+)[0-9A-Z]*$"
+
+
+def _prefix_match(parts: Column) -> Column:
+    """any(part span startswith one of the (lowercased) context part
+    ngrams) — the `_filter_non_parts` prefix probe used across the
+    ce_v_max LF family."""
+    p_l = F.lower(F.col("p_span"))
+    return F.exists(parts, lambda g: F.startswith(p_l, g))
+
+
+def _mismatch(trigger: Column, prefix_parts: Column) -> Column:
+    """LF_part_miss_match family (transistor_lfs.py:630-645,676-755):
+    ABSTAIN when the axis names no part-likes (``trigger``, unigram
+    expansions as in the reference's n_max=1) or the candidate part
+    prefix-matches one of ``prefix_parts``; FALSE otherwise.
+
+    Deviation from the reference: the prefix set uses n <= 3 expansions, so
+    a range header like "2N104A - 2N104C" credits the implied middle
+    variants (the reference's n_max=1 prefix set sees only the endpoints
+    and falsely vetoes them — part of why its ce_v_max F1 stops at .832)."""
+    return F.when((F.size(trigger) == 0) | _prefix_match(prefix_parts),
+                  ABSTAIN).otherwise(FALSE)
+
+
 def ce_v_max_lfs() -> dict[str, Column]:
-    """transistor_lfs.py:378-445 (voltage_lfs + CE keyword set)."""
+    """transistor_lfs.py:378-771 — the full active ce_v_max set
+    (``ce_v_max_lfs = voltage_lfs + 16``), plus four extras from the
+    commented pools kept from round 1.
+
+    Structural proxies (HTML-only input, no visual coords): horz == same
+    table row, vert == same column — so the ``*_horz``/``*_vert`` LFs read
+    the row/col context tables and ``get_head_ngrams`` reads the min-row /
+    min-col cell.
+    """
     row = F.col("_a_row")
+    p_row = F.col("_p_row")
     al = _aligned("a_")
+    head = F.col("_a_head")
+    parts3_row = F.col("_a_row_parts3")
+    parts1_row = F.col("_a_row_parts1")
+    parts1_col = F.col("_a_col_parts1")
+    parts1_head = F.col("_a_colhead_parts1")
+
+    ce_all = _CE_KEYWORDS + _CE_ABBREVS
+    ce_in_a_row = overlaps(row, ce_all)
+    non_cev_a = overlaps(row, _NON_CEV_KEYWORDS)
+    non_cev_p = overlaps(p_row, _NON_CEV_KEYWORDS)
+    cur_row = overlaps(row, ["i", "ic", "ma"])
+    horz_aligned = same_table() & (F.col("p_row") == F.col("a_row"))
+    part_ish_in_row = F.exists(
+        row, lambda g: F.regexp_like(F.upper(g), F.lit(_PART_ISH_RGX)))
+
     return {
+        # --- voltage_lfs (transistor_lfs.py:378-436) ---
         "aligned_or_global": _T(aligned() | ~F.col("p_is_tabular")),
-        "same_table_must_align": _F(same_table() & ~aligned()),
         "voltage_not_in_table": _F(~F.col("a_is_tabular")),
-        "low_table_num": _T(F.col("a_is_tabular")
-                            & (F.col("a_table_id") <= 2)),
         "bad_keywords_in_row": _F(overlaps(
             row, ["continuous", "cut-off", "gain", "breakdown"])),
+        "current_in_row": _F(cur_row),
+        "too_many_numbers_horz": _F(F.col("_a_nnum") > 3),
+        # --- CE keyword set (transistor_lfs.py:446-480) ---
+        "ce_keywords_in_row": _T(overlaps(row, _CE_KEYWORDS)),
+        "ce_keywords_horz": _T(overlaps(row, _CE_KEYWORDS)),
+        "ce_abbrevs_in_row": _T(overlaps(row, _CE_ABBREVS)),
+        "ce_abbrevs_horz": _T(overlaps(row, _CE_ABBREVS)),
+        "head_ends_with_ceo": _T(F.exists(
+            head, lambda g: F.endswith(F.lower(g), F.lit("ceo")))),
+        "non_ce_voltages_in_row": _F(non_cev_a),
+        # --- part-prefix family (transistor_lfs.py:539-628) ---
+        "part_ce_keywords_in_row_prefix": _T(
+            ce_in_a_row & _prefix_match(parts3_row)
+            & ~non_cev_a & ~cur_row),
+        "part_ce_keywords_in_row_prefix_same_table": _T(
+            same_table() & horz_aligned
+            & ce_in_a_row & overlaps(p_row, ce_all)
+            & _prefix_match(parts3_row)
+            & ~non_cev_p & ~non_cev_a & ~cur_row),
+        "ce_keywords_not_part_in_row_col_prefix": _T(
+            ~same_table() & ce_in_a_row
+            & (F.size(F.concat(parts3_row, F.col("_a_col_parts3"))) == 0)
+            & ~non_cev_p & ~non_cev_a & ~cur_row),
+        "part_ce_keywords_horz_prefix": _T(
+            ce_in_a_row
+            & F.exists(lower_arr(row),
+                       lambda g: F.startswith(F.lower(F.col("p_span")), g))
+            & ~non_cev_a),
+        "not_valid_value": _F(~ce_in_a_row),
+        "ce_keywords_no_part_in_rows": F.when(part_ish_in_row, ABSTAIN)
+        .otherwise(_T(ce_in_a_row)),
+        # --- part-mismatch family (transistor_lfs.py:630-755) ---
+        "part_mismatch_header": _mismatch(parts1_head,
+                                          F.col("_a_colhead_parts3")),
+        "part_mismatch_col": _mismatch(parts1_col, F.col("_a_col_parts3")),
+        "part_mismatch_row": _mismatch(parts1_row, parts3_row),
+        "part_mismatch_vert": _mismatch(parts1_col, F.col("_a_col_parts3")),
+        "part_mismatch_horz": _mismatch(parts1_row, parts3_row),
+        # --- extras kept from round 1 (commented pools / other relations) --
+        "same_table_must_align": _F(same_table() & ~aligned()),
+        "low_table_num": _T(F.col("a_is_tabular")
+                            & (F.col("a_table_id") <= 2)),
         "equals_in_row": _F(overlaps(row, ["="])),
-        "current_in_row": _F(overlaps(row, ["i", "ic", "ma"])),
-        "ce_keywords_in_row": _T(overlaps(
-            row, ["collector emitter", "collector-emitter",
-                  "collector - emitter"])),
-        "ce_abbrevs_in_row": _T(overlaps(row, ["ceo", "vceo"])),
         "v_aligned": _T(F.array_contains(al, "V")),
     }
 

@@ -121,6 +121,26 @@ def build_context(grams: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def build_ce_context(grams: DataFrame) -> dict[str, DataFrame]:
+    """The ce_v_max-only context tables (head grams, part-like expansions,
+    numeric counts) backing the part-prefix/mismatch LF family. The
+    expansion vocabulary is computed once and shared by the five part
+    tables (localCheckpoint so the pandas expansion UDF runs exactly
+    once)."""
+    exp = X.build_part_expansions(grams).localCheckpoint()
+    return {
+        "rowhead": X.build_head_grams(grams, "row"),
+        "colhead": X.build_head_grams(grams, "col"),
+        "row_parts3": X.build_axis_part_grams(grams, exp, "row", 3),
+        "col_parts3": X.build_axis_part_grams(grams, exp, "col", 3),
+        "row_parts1": X.build_axis_part_grams(grams, exp, "row", 1),
+        "col_parts1": X.build_axis_part_grams(grams, exp, "col", 1),
+        "colhead_parts1": X.build_head_part_grams(grams, exp, "col", 1),
+        "colhead_parts3": X.build_head_part_grams(grams, exp, "col", 3),
+        "row_nnum": X.build_row_number_counts(grams),
+    }
+
+
 def relation_candidates(rel: str, mentions: dict[str, DataFrame],
                         ctx: dict[str, DataFrame]) -> DataFrame:
     parts = mentions["part"]
@@ -228,17 +248,23 @@ def run_kbc(
         row = row_f.result()
         row2_f = pool.submit(ckpt, X.build_row_spread(row, 2))
         row5_f = pool.submit(ckpt, X.build_row_spread(row, 5))
+        extra_f = None
+        if "ce_v_max" in relations:
+            # one future per table so the pool interleaves their jobs
+            extra_f = {k: pool.submit(ckpt, v)
+                       for k, v in build_ce_context(grams).items()}
         ctx = {"row": row, "col": col_f.result(),
                "row2": row2_f.result(), "row5": row5_f.result()}
         sent_ctx = sent_ctx_f.result()
         mentions = extract_mentions(grams, sentences, gazetteer, ctx)
         mentions["part"] = parts_f.result()
         components = comps_f.result() if comps_f else None
+        extra = {k: f.result() for k, f in extra_f.items()} if extra_f else {}
 
         def process(rel: str):
             cands = relation_candidates(rel, mentions, ctx)
             cands_ctx = with_context(cands, sent_ctx, ctx["row"], ctx["col"],
-                                     needs=RELATION_NEEDS[rel])
+                                     needs=RELATION_NEEDS[rel], extra=extra)
             scored = apply_lfs(cands_ctx, rel)
             if supervision == "weighted_votes":
                 from tecs_hardware_kbc_spark.operators.labeling import (
@@ -326,6 +352,13 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     sent_ctx = runner.run("sentence_context",
                           lambda: build_sentence_context(sentences, grams),
                           inputs=["sentences", "grams"])
+    extra = {}
+    if "ce_v_max" in relations:
+        ce_tables = build_ce_context(grams)
+        extra = {
+            k: runner.run(f"ce_ctx_{k}", lambda df=v: df, inputs=["grams"])
+            for k, v in ce_tables.items()
+        }
     mentions = extract_mentions(grams, sentences, gazetteer, ctx)
     mentions = {
         k: runner.run(f"mentions_{k}", lambda df=v: df,
@@ -355,7 +388,7 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
             lambda rel=rel: apply_lfs(
                 with_context(relation_candidates(rel, mentions, ctx),
                              sent_ctx, ctx["row"], ctx["col"],
-                             needs=RELATION_NEEDS[rel]), rel),
+                             needs=RELATION_NEEDS[rel], extra=extra), rel),
             inputs=[f"mentions_{mention_key.get(rel, rel)}", "mentions_part"],
         )
         ents = canonicalize_entities(
