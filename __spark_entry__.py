@@ -538,8 +538,24 @@ WHERE a.vec_id < b.vec_id
                              b.embedding::DOUBLE[]) >= 0.3
 """)
 def emb_near_dup(spark, sf):
+    """Exact all-pairs cosine — the VERIFICATION baseline for near-dup
+    (quadratic; oracle-checkable). The scale path is ``emb_near_dup_lsh``
+    below (multi-table hyperplane LSH, recall-gated in tests/test_dedup)."""
     from tecs_hardware_kbc_spark.operators.similarity import cosine_pairs
     out = cosine_pairs(_t(spark, sf, "embeddings"), threshold=0.3)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+@_q("emb_near_dup_lsh")
+def emb_near_dup_lsh(spark, sf):
+    """The first-class scale path for embedding near-dup: multi-table
+    sign-bucket LSH + exact rerank (never all-pairs). Hyperplanes are
+    numpy-random, so no SQL oracle — rows-only here; the recall >= 0.9
+    contract vs the exact baseline is pinned by pytest."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        embedding_near_duplicates)
+    out = embedding_near_duplicates(_t(spark, sf, "embeddings"),
+                                    threshold=0.9)
     return out.withColumn("cosine", F.round("cosine", 4))
 
 

@@ -125,7 +125,7 @@ def run_datapath(cpus: int, pages: int, repeats: int = 3) -> dict:
     n_rows = pg.count()
 
     def datapath() -> int:
-        sentences = parse_pages(ingest(pg).repartition(cpus))
+        sentences = parse_pages(ingest(pg))
         grams = M.gram_space(sentences)
         row = X.build_row_ngrams(grams)
         col = X.build_col_ngrams(grams)

@@ -48,6 +48,21 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--checkpoint", required=True)
 
+    a = sub.add_parser(
+        "analyze",
+        help="prob CSV -> alias-widen -> sweep -> discrepancy CSV "
+             "(reference hack/transistors/analysis.py)")
+    a.add_argument("--probs", required=True,
+                   help="probability CSV (doc,part,value,prob)")
+    a.add_argument("--dev-probs", default=None,
+                   help="dev CSV to tune the threshold on (default: --probs)")
+    a.add_argument("--gold", required=True, help="gold parquet or CSV")
+    a.add_argument("--attribute", required=True)
+    a.add_argument("--out", required=True)
+    a.add_argument("--docs", default=None,
+                   help="optional doc-set file (one doc per line)")
+    a.add_argument("--threshold", type=float, default=None)
+
     args = p.parse_args(argv)
 
     from tecs_hardware_kbc_spark.session import get_spark
@@ -78,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
         from tecs_hardware_kbc_spark.streaming.ingest import ingest_available_now
         ingest_available_now(spark, args.input, args.out, args.checkpoint)
         print(json.dumps({"ingested_to": args.out}))
+        return 0
+
+    if args.cmd == "analyze":
+        from tecs_hardware_kbc_spark.analysis import analyze
+        scores = analyze(
+            spark, args.probs, args.gold, args.attribute, args.out,
+            dev_probs_path=args.dev_probs, docs_path=args.docs,
+            threshold=args.threshold,
+        )
+        print(json.dumps(scores))
         return 0
     return 1
 

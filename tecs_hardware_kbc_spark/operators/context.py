@@ -136,6 +136,9 @@ def build_part_expansions(grams: DataFrame) -> DataFrame:
         .select("raw_span").distinct()
         .filter(F.regexp_like("raw_span", F.lit(r"[0-9]"))
                 & F.regexp_like("raw_span", F.lit(r"[A-Za-z]")))
+        # tiny in bytes, CPU-heavy per row: spread the vocabulary so the
+        # expansion UDF runs in parallel (AQE would coalesce it to 1)
+        .repartition(grams.sparkSession.sparkContext.defaultParallelism)
     )
     expanded = cand.withColumn("_exp", _expand_parts_udf(F.col("raw_span")))
     parts = F.transform(

@@ -162,6 +162,69 @@ def fit_logreg(encoded_train: DataFrame, label_col: str, vocab_size: int,
             "bias": float(b)}
 
 
+def fit_logreg_multitask(encoded_by_task: dict[str, DataFrame],
+                         label_col: str, vocab_size: int,
+                         epochs: int = 60, lr: float = 0.5,
+                         l2: float = 1e-4) -> dict:
+    """Multi-task logistic regression over the SHARED feature space — the
+    stand-in for the reference's Emmental shared-trunk model with one head
+    per relation and a round-robin task scheduler
+    (``transistors.py:476-553``, ``EmmentalModel([model for every task])``).
+
+    Architecture: a shared trunk weight vector ``w_shared`` updated by the
+    gradient of EVERY task, plus a per-task residual ``w_t`` and bias —
+    score_t(x) = sigmoid((w_shared + w_t) . x + b_t). L2 shrinks the
+    residuals toward the trunk, so tasks with few candidates borrow
+    statistical strength from the others (the point of multi-tasking).
+    Tasks are visited round-robin within each epoch, like the reference's
+    round-robin batch scheduler. Driver-side numpy on the collected sparse
+    matrices (the reference's train matrices also fit on one node);
+    inference stays distributed via ``predict_logreg``.
+
+    Returns ``{"heads": {task: {"weights", "bias"}}}`` where each head's
+    weights are the merged (trunk + residual) map, directly consumable by
+    ``predict_logreg``.
+    """
+    data = {}
+    for task, df in encoded_by_task.items():
+        rows = df.select("feature_idx", label_col).collect()
+        y = np.array([float(r[label_col]) for r in rows])
+        idxs = [r["feature_idx"] for r in rows]
+        data[task] = (idxs, y)
+
+    w_shared = np.zeros(vocab_size)
+    w_task = {t: np.zeros(vocab_size) for t in data}
+    b_task = {t: 0.0 for t in data}
+    order = sorted(data)
+    for _ in range(epochs):
+        for task in order:  # round-robin scheduler
+            idxs, y = data[task]
+            n = len(y)
+            if n == 0:
+                continue
+            w = w_shared + w_task[task]
+            z = np.array([w[ix].sum() + b_task[task] for ix in idxs])
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            grad = np.zeros(vocab_size)
+            for e, ix in zip(err, idxs):
+                grad[ix] += e
+            grad /= n
+            w_shared -= lr * (grad + l2 * w_shared)
+            w_task[task] -= lr * (grad + l2 * w_task[task])
+            b_task[task] -= lr * float(err.mean())
+
+    heads = {}
+    for task in order:
+        merged = w_shared + w_task[task]
+        heads[task] = {
+            "weights": {int(i): float(v) for i, v in enumerate(merged)
+                        if v != 0.0},
+            "bias": float(b_task[task]),
+        }
+    return {"heads": heads}
+
+
 def predict_logreg(encoded: DataFrame, model: dict,
                    out_col: str = "prob_lr") -> DataFrame:
     """Distributed inference: broadcast the weight map, score via a JVM

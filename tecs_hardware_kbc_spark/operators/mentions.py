@@ -138,12 +138,17 @@ def part_mentions(grams: DataFrame, gazetteer: DataFrame) -> DataFrame:
            | F.regexp_like(up, F.lit(r"^[A-Z0-9\-]{5,15}$")))
     )
     # expand DISTINCT spans only (the pandas UDF sees the vocabulary, not
-    # every occurrence), then map expansions back over the gram rows
+    # every occurrence), then map expansions back over the gram rows.
+    # The vocabulary is tiny in BYTES but CPU-heavy per row (difflib), so
+    # AQE would coalesce its exchange to one partition and serialize the
+    # UDF — spread it explicitly across the cluster.
+    par = grams.sparkSession.sparkContext.defaultParallelism
     vocab = (
         candidates.select("raw_span").distinct()
+        .repartition(par)
         .withColumn("parts", _expand_parts_udf(F.col("raw_span")))
     )
-    exploded = candidates.join(vocab, "raw_span").select(
+    exploded = candidates.join(F.broadcast(vocab), "raw_span").select(
         *(c for c in candidates.columns),
         F.explode("parts").alias("part_span"),
     ).filter(~F.col("part_span").contains(" "))

@@ -61,18 +61,21 @@ ALL_RELATIONS = BINARY_RELATIONS + UNARY_RELATIONS
 def ingest(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """Latest crawl per url (late re-crawl dedup) + language filter.
 
-    One shuffle on url; at scale the pages table is already partitioned by
-    url-hash so this collapses into the existing distribution.
+    ``max_by`` aggregation, not a row_number window: one shuffle with
+    map-side partial aggregation (the window variant shuffles every
+    duplicate row in full), and downstream stages read the aggregation's
+    partitioning directly — no second full shuffle of the html blobs
+    before the parse UDF (the session's AQE coalesce floor keeps this
+    exchange at full parallelism; see session.py).
     """
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-    out = (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
     if lang:
-        out = out.filter(F.col("lang") == lang)
-    return out
+        pages = pages.filter(F.col("lang") == lang)
+    others = [c for c in pages.columns if c != "url"]
+    return (
+        pages.groupBy("url")
+        .agg(F.max_by(F.struct(*others), "warc_ts").alias("_s"))
+        .select("url", *[F.col(f"_s.{c}").alias(c) for c in others])
+    )
 
 
 @dataclass
@@ -204,11 +207,11 @@ def run_kbc(
     # dominant cost at moderate scale is per-stage scheduling latency, and
     # overlapping jobs hides it while keeping every core busy.
     clean = ingest(pages)
-    # AQE coalesces the ingest-window shuffle for ITS output size (html
-    # blobs compress to ~1 partition), which would run the parse UDF on one
-    # Python worker and starve the gram explode. Re-spread BEFORE parsing.
-    par = spark.sparkContext.defaultParallelism
-    sentences = parse_pages(clean.repartition(par)).localCheckpoint()
+    # the parse UDF reads the ingest aggregation's shuffle output directly
+    # — no extra full shuffle of the html corpus. The session's AQE
+    # coalesce floor (minPartitionSize, session.py) keeps that exchange at
+    # full parallelism even though compressed html makes it look tiny.
+    sentences = parse_pages(clean).localCheckpoint()
     # the gram table is materialized once: higher-order-function evaluation
     # is the expensive part (HOFs don't fully codegen), so ~10 downstream
     # consumers must read the checkpointed rows, not re-derive them
@@ -327,10 +330,9 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     gazetteer = spark.read.parquet(gazetteer_path)
     gold = spark.read.parquet(gold_path) if gold_path else None
 
-    par = spark.sparkContext.defaultParallelism
     sentences = runner.run(
         "sentences",
-        lambda: parse_pages(ingest(pages).repartition(par)),
+        lambda: parse_pages(ingest(pages)),
         inputs=["pages"],
     ).persist()
     grams = runner.run("grams", lambda: M.gram_space(sentences),

@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # COMPRESSED shuffle bytes drive AQE coalescing; html compresses
+        # ~10x, so the default 1MB floor would coalesce the ingest exchange
+        # to a handful of partitions and starve the parse UDF. 64k keeps
+        # blob-heavy exchanges at full parallelism (parallelismFirst still
+        # caps the count at defaultParallelism).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs are KBs-to-MBs each; cap Arrow batches so the parse UDF

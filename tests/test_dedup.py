@@ -162,3 +162,35 @@ def test_simhash_hamming_exactness_vs_bruteforce(spark):
     banded = {(r["a"], r["b"])
               for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
     assert banded == brute
+
+
+def test_embedding_near_dup_recall_vs_exact(spark):
+    """Recall gate (the scale-path contract): on clustered vectors —
+    planted near-dup pairs, the regime the operator exists for — the
+    hyperplane-LSH bucketed path recovers >= 0.9 of the exact
+    cosine_pairs >= 0.95 pairs at default planes."""
+    import numpy as np
+
+    from tecs_hardware_kbc_spark.operators.similarity import cosine_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    for c in range(40):
+        base = rng.randn(16)
+        base /= np.linalg.norm(base)
+        for _ in range(3):  # 3 near-copies per cluster
+            v = base + rng.randn(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    exact = {(r["a"], r["b"])
+             for r in cosine_pairs(emb, 0.95).collect()}
+    assert len(exact) >= 40  # sanity: clusters actually produce pairs
+    lsh = {(r["a"], r["b"])
+           for r in embedding_near_duplicates(emb, threshold=0.95).collect()}
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, recall
+    # bucketed pairs are a subset of exact (same cosine filter)
+    assert lsh <= exact

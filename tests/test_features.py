@@ -94,3 +94,38 @@ def test_encode_survives_zero_invocab_keys(spark, cands_ctx):
     for r in scored.filter(F.size("feature_idx") == 0).collect():
         assert abs(r["prob_lr"] - 1 / (1 + math.exp(1.0))) < 1e-12
     assert oov.count() >= 0  # presence checked above via total count
+
+
+def test_multitask_logreg_shares_strength(spark, cands_ctx):
+    """Shared-trunk multi-task LR (transistors.py:476-553 stand-in): both
+    heads separate their task, and the data-starved task's accuracy is >=
+    its single-task accuracy (it borrows the trunk learned by the rich
+    task)."""
+    from tecs_hardware_kbc_spark.operators.features import (
+        fit_logreg_multitask)
+
+    fz = featurize(cands_ctx)
+    vocab = feature_vocabulary(fz)
+    vsize = vocab.count()
+    enc_rich = encode_features(fz, vocab, ["cand_id", "label"]).cache()
+    # the starved task sees ONE example per class (same concept)
+    enc_poor = enc_rich.orderBy("cand_id").limit(2).cache()
+
+    def accuracy(pred, col):
+        rows = pred.select("label", col).collect()
+        return sum(1 for r in rows
+                   if (r[col] > 0.5) == (r["label"] == 1)) / len(rows)
+
+    multi = fit_logreg_multitask(
+        {"rich": enc_rich, "poor": enc_poor}, "label", vsize, epochs=200)
+    single_poor = fit_logreg(enc_poor, "label", vsize, epochs=200)
+
+    acc_multi = accuracy(
+        predict_logreg(enc_rich, multi["heads"]["poor"]), "prob_lr")
+    acc_single = accuracy(
+        predict_logreg(enc_rich, single_poor), "prob_lr")
+    assert acc_multi >= acc_single
+    # the rich head fully separates its own training data
+    acc_rich = accuracy(
+        predict_logreg(enc_rich, multi["heads"]["rich"]), "prob_lr")
+    assert acc_rich == 1.0

@@ -72,3 +72,28 @@ def test_cosine_pairs_threshold(spark):
         "vec_id long, embedding array<double>")
     pairs = {(r["a"], r["b"]) for r in cosine_pairs(emb, 0.9).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_lsh_topk_recall_clustered(spark):
+    """Recall gate at default planes/probes on clustered data (the regime
+    ANN serves): recall@5 vs exact >= 0.9."""
+    rng = np.random.RandomState(5)
+    rows = []
+    vid = 0
+    for c in range(30):
+        base = rng.randn(16)
+        for _ in range(6):
+            v = base + rng.randn(16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    expect = _exact_topk_numpy(emb.collect(), k=5)
+    queries = emb.filter(F.col("vec_id") < 30) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_topk(emb, queries, k=5)  # defaults: planes=6, probe_bits=1
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(set(expect[q]) & by_q.get(q, set())) for q in range(30))
+    assert hits / (30 * 5) >= 0.9, hits / 150
