@@ -99,7 +99,7 @@ def run_suite() -> dict:
     }
 
 
-def run_datapath(cpus: int, pages: int, repeats: int = 3) -> dict:
+def run_datapath(cpus: int, pages: int, repeats: int = 5) -> dict:
     """Steady-state throughput probe: ONE fused DAG (parse -> grams ->
     context -> mentions -> candidate join -> LF votes -> entities), no
     intermediate stores — the data path whose behavior predicts 100 TB.

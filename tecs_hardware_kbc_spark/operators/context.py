@@ -200,6 +200,51 @@ def build_head_part_grams(grams: DataFrame, expansions: DataFrame,
     )
 
 
+def build_neighbor_cell_ngrams(grams: DataFrame, dist: int = 5,
+                               n_max: int = 1) -> DataFrame:
+    """(url, table_id, row, col, direction, grams): grams of the cells
+    within ``dist`` positions of each cell along its row/column, tagged
+    with the direction seen FROM that cell — fonduer's
+    ``get_neighbor_cell_ngrams(dist=5, directions=True)``
+    (opamp_lfs.py:68,112; opamp_utils.py:126). RIGHT/LEFT walk the row,
+    UP/DOWN walk the column.
+
+    Built by contribution-explode (like ``build_row_spread``): each source
+    cell donates its gram set to every neighbor target within dist, then
+    one groupBy per (target cell, direction) — no self-join of the cell
+    table.
+    """
+    cells = (
+        grams.filter(F.col("table_id").isNotNull()
+                     & (F.col("n") >= 1) & (F.col("n") <= n_max))
+        .groupBy("url", "table_id", "row", "col")
+        .agg(F.collect_set("raw_span").alias("grams"))
+    )
+    k = F.explode(F.sequence(F.lit(1), F.lit(dist))).alias("k")
+    donated = cells.select("url", "table_id", "row", "col", "grams", k)
+    # a source at col c is to the RIGHT of targets at col c-k, etc.
+    variants = [
+        (F.col("row"), F.col("col") - F.col("k"), "RIGHT"),
+        (F.col("row"), F.col("col") + F.col("k"), "LEFT"),
+        (F.col("row") - F.col("k"), F.col("col"), "DOWN"),
+        (F.col("row") + F.col("k"), F.col("col"), "UP"),
+    ]
+    parts = [
+        donated.select("url", "table_id", r.alias("row"), c.alias("col"),
+                       F.lit(d).alias("direction"), "grams")
+        for r, c, d in variants
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter((F.col("row") >= 0) & (F.col("col") >= 0))
+        .groupBy("url", "table_id", "row", "col", "direction")
+        .agg(F.array_distinct(F.flatten(F.collect_list("grams")))
+             .alias("grams"))
+    )
+
+
 def build_row_number_counts(grams: DataFrame) -> DataFrame:
     """(url, table_id, row, n_numbers): count of numeric unigrams in the
     row — the structural proxy of counting 'number' ner_tags along the

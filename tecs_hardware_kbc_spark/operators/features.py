@@ -162,6 +162,41 @@ def fit_logreg(encoded_train: DataFrame, label_col: str, vocab_size: int,
             "bias": float(b)}
 
 
+def fit_logreg_distributed(encoded_train: DataFrame, label_col: str,
+                           vocab_size: int, max_iter: int = 50,
+                           reg: float = 1e-4) -> dict:
+    """Cluster-scale training path: spark.ml LogisticRegression (LBFGS)
+    over sparse vectors built from the index arrays — no driver-side
+    matrix. Same return shape as ``fit_logreg``, so ``predict_logreg``
+    serves inference for either trainer. Use this when the training split
+    no longer fits one node (the driver-side trainer is reference-parity:
+    their matrices also fit on one node)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    if vocab_size == 0:
+        return {"weights": {}, "bias": 0.0}
+
+    # index array -> SparseVector (the matrices are 0/1 sparse; a dense
+    # array would be O(vocab) per row). VectorUDT has no Arrow codec, so
+    # this one conversion is a plain UDF — training-split only.
+    @F.udf(returnType=VectorUDT())
+    def to_sparse(idx):
+        ones = sorted(set(idx or []))
+        return SparseVector(vocab_size, ones, [1.0] * len(ones))
+
+    train = encoded_train.select(
+        to_sparse("feature_idx").alias("features"),
+        F.col(label_col).cast("double").alias("label"))
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg,
+                            standardization=False)
+    m = lr.fit(train)
+    w = m.coefficients.toArray()
+    return {"weights": {int(i): float(v) for i, v in enumerate(w)
+                        if v != 0.0},
+            "bias": float(m.intercept)}
+
+
 def fit_logreg_multitask(encoded_by_task: dict[str, DataFrame],
                          label_col: str, vocab_size: int,
                          epochs: int = 60, lr: float = 0.5,

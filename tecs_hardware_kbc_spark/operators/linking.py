@@ -70,11 +70,17 @@ def widen_aliases(entities: DataFrame, parts_by_doc: DataFrame) -> DataFrame:
 
 
 def resolve_unit(df: DataFrame, unit_tokens: list[str], row_ngrams: DataFrame,
-                 row_spread2: DataFrame, row_spread5: DataFrame) -> DataFrame:
+                 row_spread2: DataFrame, row_spread5: DataFrame,
+                 neighbor_cells: DataFrame | None = None) -> DataFrame:
     """Attach a ``unit`` column: the unique unit token in the value's row,
     widening the spread (0 -> ±2 -> ±5) until exactly one is found — the
     set-algebra form of the reference's growing-spread loop
-    (opamp_utils.py:150-157, LIMIT=8)."""
+    (opamp_utils.py:150-157, LIMIT=8).
+
+    When ``neighbor_cells`` (context.build_neighbor_cell_ngrams) is given,
+    the RIGHT-neighbor cells within dist=5 are probed FIRST — the
+    reference's right_ngrams-then-row hierarchy (opamp_utils.py:123-141:
+    "using right_ngrams alone hurts recall", hence both)."""
     units = F.array(*[F.lit(u) for u in unit_tokens])
 
     def uniq(grams_col):
@@ -82,6 +88,19 @@ def resolve_unit(df: DataFrame, unit_tokens: list[str], row_ngrams: DataFrame,
         return F.when(F.size(found) == 1, F.element_at(found, 1))
 
     out = df
+    names = []
+    if neighbor_cells is not None:
+        rc = neighbor_cells.filter(F.col("direction") == "RIGHT").select(
+            "url", F.col("table_id").alias("a_table_id"),
+            F.col("row").alias("a_row"), F.col("col").alias("a_col"),
+            F.col("grams").alias("_urg"),
+        )
+        out = (
+            out.join(rc, ["url", "a_table_id", "a_row", "a_col"], "left")
+            .withColumn("_ur", uniq(F.coalesce(F.col("_urg"), F.array())))
+            .drop("_urg")
+        )
+        names.append("_ur")
     for tbl, name in ((row_ngrams, "_u0"), (row_spread2, "_u2"),
                       (row_spread5, "_u5")):
         rn = tbl.select(
@@ -93,9 +112,8 @@ def resolve_unit(df: DataFrame, unit_tokens: list[str], row_ngrams: DataFrame,
             .withColumn(name, uniq(F.coalesce(F.col(f"{name}g"), F.array())))
             .drop(f"{name}g")
         )
-    return out.withColumn(
-        "unit", F.coalesce("_u0", "_u2", "_u5")
-    ).drop("_u0", "_u2", "_u5")
+        names.append(name)
+    return out.withColumn("unit", F.coalesce(*names)).drop(*names)
 
 
 def _fmt(mag: Column) -> Column:
@@ -107,7 +125,8 @@ def _fmt(mag: Column) -> Column:
 
 
 def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
-                   row_spread2: DataFrame, row_spread5: DataFrame) -> DataFrame:
+                   row_spread2: DataFrame, row_spread5: DataFrame,
+                   neighbor_cells: DataFrame | None = None) -> DataFrame:
     """Unary opamp candidates -> (doc, doc, attribute, value, prob) with
     unit-resolved display magnitudes: gain in kHz, current in µA with ±
     doubling (one entity for the literal, one for the doubled swing)."""
@@ -115,7 +134,8 @@ def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
         units = ["mhz", "khz"]
     else:
         units = ["ma", "μa", "ua", "µa", "a"]
-    df = resolve_unit(scored, units, row_ngrams, row_spread2, row_spread5)
+    df = resolve_unit(scored, units, row_ngrams, row_spread2, row_spread5,
+                      neighbor_cells=neighbor_cells)
     df = df.filter(F.col("unit").isNotNull())
 
     pm = F.col("a_span").startswith("±")

@@ -168,7 +168,8 @@ def relation_entities(rel: str, scored: DataFrame,
                       parts_by_doc: DataFrame | None) -> DataFrame:
     if rel in UNARY_RELATIONS:
         return opamp_entities(scored, rel, ctx["row"], ctx["row2"],
-                              ctx["row5"])
+                              ctx["row5"],
+                              neighbor_cells=ctx.get("ncell"))
     ents = to_entities(scored, rel)
     if parts_by_doc is not None:
         ents = widen_aliases(ents, parts_by_doc)
@@ -256,8 +257,14 @@ def run_kbc(
             # one future per table so the pool interleaves their jobs
             extra_f = {k: pool.submit(ckpt, v)
                        for k, v in build_ce_context(grams).items()}
+        ncell_f = (
+            pool.submit(ckpt, X.build_neighbor_cell_ngrams(grams))
+            if any(r in UNARY_RELATIONS for r in relations) else None
+        )
         ctx = {"row": row, "col": col_f.result(),
                "row2": row2_f.result(), "row5": row5_f.result()}
+        if ncell_f is not None:
+            ctx["ncell"] = ncell_f.result()
         sent_ctx = sent_ctx_f.result()
         mentions = extract_mentions(grams, sentences, gazetteer, ctx)
         mentions["part"] = parts_f.result()
@@ -361,6 +368,10 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
             k: runner.run(f"ce_ctx_{k}", lambda df=v: df, inputs=["grams"])
             for k, v in ce_tables.items()
         }
+    if any(r in UNARY_RELATIONS for r in relations):
+        ctx["ncell"] = runner.run(
+            "neighbor_cells",
+            lambda: X.build_neighbor_cell_ngrams(grams), inputs=["grams"])
     mentions = extract_mentions(grams, sentences, gazetteer, ctx)
     mentions = {
         k: runner.run(f"mentions_{k}", lambda df=v: df,

@@ -58,3 +58,24 @@ def test_row_spread(spark):
     # row 1's spread includes the header row
     r1 = set(sp.filter(F.col("row") == 1).collect()[0]["grams"])
     assert "BC546" in r1 and "100" in r1
+
+
+def test_neighbor_cell_ngrams_directions(spark):
+    """get_neighbor_cell_ngrams(dist=5, directions=True) semantics:
+    direction is where the NEIGHBOR sits relative to the cell — RIGHT =
+    same row, higher col; UP = same col, lower row index (earlier row =
+    visually above). Pinned on the hand-built table."""
+    from tecs_hardware_kbc_spark.operators.context import (
+        build_neighbor_cell_ngrams)
+
+    nc = build_neighbor_cell_ngrams(_grams(spark), dist=5)
+    by = {(r["row"], r["col"], r["direction"]): set(r["grams"])
+          for r in nc.collect()}
+    # cell (1,0) = "Storage Temperature": RIGHT = cell (1,1) = "-55 to 150"
+    assert {"-55", "to", "150"} <= by[(1, 0, "RIGHT")]
+    assert "Storage" in by[(1, 1, "LEFT")]
+    # column walk: from (1,1), the header cell (0,1) is UP, (2,1) is DOWN
+    assert "BC546" in by[(1, 1, "UP")]
+    assert "100" in by[(1, 1, "DOWN")]
+    # dist respected: nothing beyond the table
+    assert (0, 0, "UP") not in by

@@ -129,3 +129,21 @@ def test_multitask_logreg_shares_strength(spark, cands_ctx):
     acc_rich = accuracy(
         predict_logreg(enc_rich, multi["heads"]["rich"]), "prob_lr")
     assert acc_rich == 1.0
+
+
+def test_distributed_logreg_matches_driver_side(spark, cands_ctx):
+    """spark.ml LBFGS path (the 100x-scale trainer) separates the toy data
+    like the driver-side GD trainer and plugs into the same
+    predict_logreg inference."""
+    from tecs_hardware_kbc_spark.operators.features import (
+        fit_logreg_distributed)
+
+    fz = featurize(cands_ctx)
+    vocab = feature_vocabulary(fz)
+    enc = encode_features(fz, vocab, ["cand_id", "label"]).cache()
+    model = fit_logreg_distributed(enc, "label", vocab_size=vocab.count())
+    pred = predict_logreg(enc, model)
+    rows = pred.select("label", "prob_lr").collect()
+    pos = [r["prob_lr"] for r in rows if r["label"] == 1]
+    neg = [r["prob_lr"] for r in rows if r["label"] == 0]
+    assert min(pos) > max(neg)
