@@ -155,53 +155,68 @@ def build_part_expansions(grams: DataFrame) -> DataFrame:
     )
 
 
+def _parts_aggs() -> list:
+    """parts1 = expansions of unigrams (the reference's n_max=1 trigger),
+    parts3 = expansions of all n<=3 grams (the widened prefix set that
+    credits range-implied variants) — both from ONE aggregation pass."""
+    return [
+        F.array_distinct(F.flatten(F.collect_list(
+            F.when(F.col("n") == 1, F.col("parts"))))).alias("parts1"),
+        F.array_distinct(F.flatten(F.collect_list("parts")))
+        .alias("parts3"),
+    ]
+
+
 def build_axis_part_grams(grams: DataFrame, expansions: DataFrame,
-                          axis: str, n_max: int = 1) -> DataFrame:
-    """(url, table_id, row|col, parts): the lowercased part-like expansions
-    of the n <= n_max grams along the axis (the relational form of
-    ``_filter_non_parts(get_{row,col}_ngrams(c, n_max=k))``). The expansion
-    vocabulary is broadcast — the join never shuffles the gram table."""
+                          axis: str) -> DataFrame:
+    """(url, table_id, row|col, parts1, parts3): the lowercased part-like
+    expansions of the grams along the axis (the relational form of
+    ``_filter_non_parts(get_{row,col}_ngrams(c, n_max=k))`` for k=1 and
+    k=3, one shuffle for both). The expansion vocabulary is broadcast —
+    the join never shuffles the gram table."""
     cells = (
         grams.filter(F.col("table_id").isNotNull()
-                     & (F.col("n") >= 1) & (F.col("n") <= n_max))
-        .select("url", "table_id", axis, "raw_span")
+                     & (F.col("n") >= 1) & (F.col("n") <= 3))
+        .select("url", "table_id", axis, "raw_span", "n")
     )
     return (
         cells.join(F.broadcast(expansions), "raw_span")
         .groupBy("url", "table_id", axis)
-        .agg(F.array_distinct(F.flatten(F.collect_list("parts")))
-             .alias("parts"))
+        .agg(*_parts_aggs())
     )
 
 
-def build_head_part_grams(grams: DataFrame, expansions: DataFrame,
-                          axis: str = "col", n_max: int = 1) -> DataFrame:
-    """(url, table_id, col, parts): part-like expansions of the column-head
-    cell's n <= n_max grams (``LF_part_mismatch_header``:
-    ``get_head_ngrams(c, n_max=1, axis='col')`` filtered through
-    ``_filter_non_parts``; n_max=3 gives the widened prefix set that
-    credits range-implied variants)."""
+def build_head_context(grams: DataFrame, expansions: DataFrame,
+                       axis: str = "col") -> DataFrame:
+    """(url, table_id, col, grams, parts1, parts3): the head cell's raw
+    gram set (``get_head_ngrams``) AND its part-like expansions
+    (``LF_part_mismatch_header``'s ``_filter_non_parts(get_head_ngrams(c,
+    n_max=1, axis='col'))``) in one aggregation — a left join against the
+    broadcast expansion vocabulary keeps non-part grams with empty
+    expansion lists."""
     from pyspark.sql.window import Window
 
     other = "row" if axis == "col" else "col"
     cells = (
         grams.filter(F.col("table_id").isNotNull()
-                     & (F.col("n") >= 1) & (F.col("n") <= n_max))
-        .select("url", "table_id", "row", "col", "raw_span")
+                     & (F.col("n") >= 1) & (F.col("n") <= 3))
+        .select("url", "table_id", "row", "col", "raw_span", "n")
     )
     w = Window.partitionBy("url", "table_id", axis)
     heads = (cells.withColumn("_m", F.min(other).over(w))
              .filter(F.col(other) == F.col("_m")))
+    joined = heads.join(F.broadcast(expansions), "raw_span", "left") \
+        .withColumn("parts", F.coalesce("parts", F.array()))
     return (
-        heads.join(F.broadcast(expansions), "raw_span")
-        .groupBy("url", "table_id", axis)
-        .agg(F.array_distinct(F.flatten(F.collect_list("parts")))
-             .alias("parts"))
+        joined.groupBy("url", "table_id", axis)
+        .agg(F.collect_set("raw_span").alias("grams"), *_parts_aggs())
     )
 
 
 def build_neighbor_cell_ngrams(grams: DataFrame, dist: int = 5,
-                               n_max: int = 1) -> DataFrame:
+                               n_max: int = 1,
+                               directions: list[str] | None = None
+                               ) -> DataFrame:
     """(url, table_id, row, col, direction, grams): grams of the cells
     within ``dist`` positions of each cell along its row/column, tagged
     with the direction seen FROM that cell — fonduer's
@@ -222,13 +237,17 @@ def build_neighbor_cell_ngrams(grams: DataFrame, dist: int = 5,
     )
     k = F.explode(F.sequence(F.lit(1), F.lit(dist))).alias("k")
     donated = cells.select("url", "table_id", "row", "col", "grams", k)
-    # a source at col c is to the RIGHT of targets at col c-k, etc.
+    # a source at col c is to the RIGHT of targets at col c-k, etc.;
+    # ``directions`` prunes the donation explode to the ones a consumer
+    # actually probes (resolve_unit reads only RIGHT)
     variants = [
         (F.col("row"), F.col("col") - F.col("k"), "RIGHT"),
         (F.col("row"), F.col("col") + F.col("k"), "LEFT"),
         (F.col("row") - F.col("k"), F.col("col"), "DOWN"),
         (F.col("row") + F.col("k"), F.col("col"), "UP"),
     ]
+    if directions is not None:
+        variants = [v for v in variants if v[2] in directions]
     parts = [
         donated.select("url", "table_id", r.alias("row"), c.alias("col"),
                        F.lit(d).alias("direction"), "grams")

@@ -45,29 +45,30 @@ RELATION_NEEDS: dict[str, set[str]] = {
     "stg_temp_min": {"a_row", "a_col", "a_words"},
     "stg_temp_max": {"a_row", "a_col", "a_words"},
     "polarity": {"a_row", "a_col", "a_sent", "p_sent", "p_words"},
-    "ce_v_max": {"a_row", "a_col", "p_row", "a_head", "a_row_parts3",
-                 "a_col_parts3", "a_row_parts1", "a_col_parts1",
-                 "a_colhead_parts1", "a_colhead_parts3", "a_row_nnum"},
+    "ce_v_max": {"a_row", "a_col", "p_row", "a_head", "a_row_parts",
+                 "a_col_parts", "a_row_nnum"},
     "typ_gbp": {"a_row", "a_col"},
     "typ_supply_current": {"a_row", "a_col"},
 }
 
 # extra-context join specs: need-name -> (ctx key, mention side, axis
-# column, output column, value column in the ctx table). Tables are keyed
-# (url, table_id, <axis>) like row/col ngrams; missing context defaults to
-# an empty array (or 0 for the count table).
-_EXTRA_JOINS: dict[str, tuple[str, str, str, str, str]] = {
-    "a_head_row": ("rowhead", "a_", "row", "_a_head_row", "grams"),
-    "a_head_col": ("colhead", "a_", "col", "_a_head_col", "grams"),
-    "a_row_parts3": ("row_parts3", "a_", "row", "_a_row_parts3", "parts"),
-    "a_col_parts3": ("col_parts3", "a_", "col", "_a_col_parts3", "parts"),
-    "a_row_parts1": ("row_parts1", "a_", "row", "_a_row_parts1", "parts"),
-    "a_col_parts1": ("col_parts1", "a_", "col", "_a_col_parts1", "parts"),
-    "a_colhead_parts1": ("colhead_parts1", "a_", "col",
-                         "_a_colhead_parts1", "parts"),
-    "a_colhead_parts3": ("colhead_parts3", "a_", "col",
-                         "_a_colhead_parts3", "parts"),
-    "a_row_nnum": ("row_nnum", "a_", "row", "_a_nnum", "n_numbers"),
+# column, [(output column, value column in the ctx table), ...]) — one
+# LEFT JOIN per table no matter how many columns it contributes. Tables
+# are keyed (url, table_id, <axis>) like row/col ngrams; missing context
+# defaults to an empty array (or 0 for the count column).
+_EXTRA_JOINS: dict[str, tuple[str, str, str, list[tuple[str, str]]]] = {
+    "a_head_row": ("rowhead", "a_", "row", [("_a_head_row", "grams")]),
+    "a_head_col": ("colhead", "a_", "col",
+                   [("_a_head_col", "grams"),
+                    ("_a_colhead_parts1", "parts1"),
+                    ("_a_colhead_parts3", "parts3")]),
+    "a_row_parts": ("row_parts", "a_", "row",
+                    [("_a_row_parts1", "parts1"),
+                     ("_a_row_parts3", "parts3")]),
+    "a_col_parts": ("col_parts", "a_", "col",
+                    [("_a_col_parts1", "parts1"),
+                     ("_a_col_parts3", "parts3")]),
+    "a_row_nnum": ("row_nnum", "a_", "row", [("_a_nnum", "n_numbers")]),
 }
 
 
@@ -119,26 +120,27 @@ def with_context(cands: DataFrame, sent_ctx: DataFrame,
     out = cands
     joins = []
     if "a_row" in needs:
-        joins.append((row_ngrams, "a_", "row", "_a_row", "grams"))
+        joins.append((row_ngrams, "a_", "row", [("_a_row", "grams")]))
     if "a_col" in needs:
-        joins.append((col_ngrams, "a_", "col", "_a_col", "grams"))
+        joins.append((col_ngrams, "a_", "col", [("_a_col", "grams")]))
     if has_part and "p_row" in needs:
-        joins.append((row_ngrams, "p_", "row", "_p_row", "grams"))
-    for need, (key, side, axis, name, val) in _EXTRA_JOINS.items():
+        joins.append((row_ngrams, "p_", "row", [("_p_row", "grams")]))
+    for need, (key, side, axis, cols) in _EXTRA_JOINS.items():
         if need in needs and key in extra:
-            joins.append((extra[key], side, axis, name, val))
-    for tbl, side, axis, name, val in joins:
+            joins.append((extra[key], side, axis, cols))
+    for tbl, side, axis, cols in joins:
         renamed = tbl.select(
             "url",
             F.col("table_id").alias(f"{side}table_id"),
             F.col(axis).alias(f"{side}{axis}"),
-            F.col(val).alias(name),
+            *[F.col(val).alias(name) for name, val in cols],
         )
         out = out.join(
             renamed, ["url", f"{side}table_id", f"{side}{axis}"], "left",
         )
-        default = F.lit(0) if val == "n_numbers" else F.array()
-        out = out.withColumn(name, F.coalesce(F.col(name), default))
+        for name, val in cols:
+            default = F.lit(0) if val == "n_numbers" else F.array()
+            out = out.withColumn(name, F.coalesce(F.col(name), default))
     if "_a_head_row" in out.columns and "_a_head_col" in out.columns:
         out = out.withColumn(
             "_a_head", F.concat("_a_head_row", "_a_head_col"))

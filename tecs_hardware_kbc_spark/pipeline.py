@@ -127,19 +127,15 @@ def build_context(grams: DataFrame) -> dict[str, DataFrame]:
 def build_ce_context(grams: DataFrame) -> dict[str, DataFrame]:
     """The ce_v_max-only context tables (head grams, part-like expansions,
     numeric counts) backing the part-prefix/mismatch LF family. The
-    expansion vocabulary is computed once and shared by the five part
-    tables (localCheckpoint so the pandas expansion UDF runs exactly
-    once)."""
+    expansion vocabulary is computed once and shared (localCheckpoint so
+    the pandas expansion UDF runs exactly once); each table carries every
+    column its LFs probe so with_context pays ONE join per table."""
     exp = X.build_part_expansions(grams).localCheckpoint()
     return {
         "rowhead": X.build_head_grams(grams, "row"),
-        "colhead": X.build_head_grams(grams, "col"),
-        "row_parts3": X.build_axis_part_grams(grams, exp, "row", 3),
-        "col_parts3": X.build_axis_part_grams(grams, exp, "col", 3),
-        "row_parts1": X.build_axis_part_grams(grams, exp, "row", 1),
-        "col_parts1": X.build_axis_part_grams(grams, exp, "col", 1),
-        "colhead_parts1": X.build_head_part_grams(grams, exp, "col", 1),
-        "colhead_parts3": X.build_head_part_grams(grams, exp, "col", 3),
+        "colhead": X.build_head_context(grams, exp, "col"),
+        "row_parts": X.build_axis_part_grams(grams, exp, "row"),
+        "col_parts": X.build_axis_part_grams(grams, exp, "col"),
         "row_nnum": X.build_row_number_counts(grams),
     }
 
@@ -258,7 +254,8 @@ def run_kbc(
             extra_f = {k: pool.submit(ckpt, v)
                        for k, v in build_ce_context(grams).items()}
         ncell_f = (
-            pool.submit(ckpt, X.build_neighbor_cell_ngrams(grams))
+            pool.submit(ckpt, X.build_neighbor_cell_ngrams(
+                grams, directions=["RIGHT"]))
             if any(r in UNARY_RELATIONS for r in relations) else None
         )
         ctx = {"row": row, "col": col_f.result(),
@@ -371,7 +368,9 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     if any(r in UNARY_RELATIONS for r in relations):
         ctx["ncell"] = runner.run(
             "neighbor_cells",
-            lambda: X.build_neighbor_cell_ngrams(grams), inputs=["grams"])
+            lambda: X.build_neighbor_cell_ngrams(grams,
+                                                 directions=["RIGHT"]),
+            inputs=["grams"])
     mentions = extract_mentions(grams, sentences, gazetteer, ctx)
     mentions = {
         k: runner.run(f"mentions_{k}", lambda df=v: df,
