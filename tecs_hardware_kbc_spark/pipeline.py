@@ -186,8 +186,11 @@ def run_kbc(
     """The flagship job. With ``gold``: per-relation threshold sweep and
     P/R/F1; without: fixed ``default_threshold``.
 
-    ``supervision``: "votes" (Laplace vote ratio) or "weighted_votes"
-    (agreement-statistics accuracy weighting — the LabelModel stand-in).
+    ``supervision``: "votes" (Laplace vote ratio), "weighted_votes"
+    (agreement-statistics accuracy weighting — the LabelModel stand-in),
+    or "multitask" (the reference's full flow: featurize -> frozen key
+    space -> shared-trunk multi-task LR trained on the weak labels ->
+    model marginals, transistors.py:350-567).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -268,15 +271,71 @@ def run_kbc(
         components = comps_f.result() if comps_f else None
         extra = {k: f.result() for k, f in extra_f.items()} if extra_f else {}
 
-        def process(rel: str):
+        def score_relation(rel: str) -> DataFrame:
             cands = relation_candidates(rel, mentions, ctx)
+            needs = set(RELATION_NEEDS[rel])
+            if supervision == "multitask":
+                # the feature layer reads the same context arrays the LFs do
+                needs |= {"a_row", "a_col"}
             cands_ctx = with_context(cands, sent_ctx, ctx["row"], ctx["col"],
-                                     needs=RELATION_NEEDS[rel], extra=extra)
+                                     needs=needs, extra=extra)
+            if supervision == "multitask":
+                from tecs_hardware_kbc_spark.operators.features import (
+                    featurize)
+                cands_ctx = featurize(cands_ctx)
             scored = apply_lfs(cands_ctx, rel)
             if supervision == "weighted_votes":
                 from tecs_hardware_kbc_spark.operators.labeling import (
                     weighted_marginals)
                 scored = weighted_marginals(scored)
+            return scored
+
+        multitask_scored: dict[str, DataFrame] = {}
+        if supervision == "multitask":
+            # Reference flow (transistors.py:350-567): featurize -> frozen
+            # key space -> shared-trunk multi-task model trained on the
+            # weak labels -> model marginals replace the vote ratio. The
+            # joint fit is a barrier across relations, so stage it before
+            # the per-relation entity phase.
+            from tecs_hardware_kbc_spark.operators.features import (
+                encode_features, feature_vocabulary, fit_logreg_multitask,
+                predict_logreg)
+
+            feats = {rel: pool.submit(
+                lambda rel=rel: score_relation(rel)
+                .withColumn("cand_id", F.monotonically_increasing_id())
+                .localCheckpoint()) for rel in relations}
+            feats = {rel: f.result() for rel, f in feats.items()}
+            union = None
+            for df in feats.values():
+                sel = df.select("features")
+                union = sel if union is None else union.unionByName(sel)
+            vocab = feature_vocabulary(union).localCheckpoint()
+            vsize = vocab.count()
+            # soft targets: the vote marginals themselves (the reference
+            # trains Emmental on the LabelModel's probabilistic labels,
+            # not a hard threshold) — cross-entropy gradient (p - y)
+            # handles y in [0, 1] directly
+            encoded = {
+                rel: encode_features(df, vocab, ["cand_id"])
+                .join(df.select("cand_id", F.col("prob").alias("_y")),
+                      "cand_id")
+                .localCheckpoint()
+                for rel, df in feats.items()
+            }
+            model = fit_logreg_multitask(encoded, "_y", vsize)
+            for rel, df in feats.items():
+                pred = predict_logreg(encoded[rel], model["heads"][rel],
+                                      out_col="_prob_lr")
+                multitask_scored[rel] = (
+                    df.drop("prob", "features")
+                    .join(pred.select("cand_id", "_prob_lr"), "cand_id")
+                    .withColumnRenamed("_prob_lr", "prob")
+                )
+
+        def process(rel: str):
+            scored = (multitask_scored[rel] if supervision == "multitask"
+                      else score_relation(rel))
             ents = relation_entities(rel, scored, ctx, parts_by_doc)
             if components is not None:
                 ents = canonicalize_entities(ents, components, on="doc")

@@ -83,3 +83,13 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     import os
     parts = os.listdir(f"{base}/out/triples")
     assert any(p.startswith("pred=") for p in parts)
+
+
+def test_multitask_supervision_clears_gate(spark, tiny_tables):
+    """The full reference flow — featurize -> shared-trunk multi-task LR on
+    the weak labels -> model marginals — still clears the quality gate."""
+    res = run_kbc(spark, tiny_tables["pages"], tiny_tables["gaz"],
+                  tiny_tables["gold"], supervision="multitask",
+                  relations=["stg_temp_max", "polarity"])
+    for rel, s in res.scores.items():
+        assert s["precision"] >= 0.9 and s["recall"] >= 0.9, (rel, s)

@@ -61,3 +61,51 @@ def test_entity_scoring_uses_hash_joins_not_cartesian(spark, corpus_dir):
     c = confusion(a, a)
     for df in c.values():
         assert "Cartesian" not in _plan(df)
+
+
+def test_simhash_hamming_no_cartesian(spark):
+    """The block-banded simhash near-dup plan must join on
+    (block_idx, block_val) — never a cartesian/nested-loop product."""
+    from tecs_hardware_kbc_spark.operators.dedup import simhash_near_duplicates
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(6)],
+        "doc_id long, text string")
+    plan = _plan(simhash_near_duplicates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """Multi-table LSH near-dup joins on (t, bucket) — no all-pairs."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        embedding_near_duplicates)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, 0.2]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    plan = _plan(embedding_near_duplicates(emb))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pairs_no_cartesian(spark):
+    from tecs_hardware_kbc_spark.operators.dedup import minhash_near_duplicates
+    docs = spark.createDataFrame(
+        [(i, f"some shingled text body {i} etc") for i in range(6)],
+        "doc_id long, text string")
+    plan = _plan(minhash_near_duplicates(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_part_expansion_vocab_broadcast_and_spread(spark, corpus_dir):
+    """The expansion vocabulary join-back must be a broadcast (the gram
+    side never shuffles on raw_span), and the vocabulary itself must be
+    explicitly spread before the pandas UDF."""
+    from tecs_hardware_kbc_spark.operators import mentions as M
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    pages = read_pages(spark, f"{corpus_dir}/pages.parquet")
+    grams = M.gram_space(parse_pages(pages))
+    gaz = spark.createDataFrame([("BC546", "u")], "part string, url string")
+    plan = _plan(M.part_mentions(grams, gaz))
+    assert "BroadcastHashJoin" in plan
+    assert "RoundRobinPartitioning" in plan  # the explicit vocab spread
