@@ -31,3 +31,55 @@ def test_ingest_available_now(spark, tmp_path_factory):
     # batch-pipeline ingest() over the drained table stays idempotent
     clean = ingest(spark.read.parquet(out))
     assert clean.count() == clean.select("url").distinct().count()
+
+
+def test_stateful_latest_crawl_cdc(spark, tmp_path_factory):
+    """applyInPandasWithState CDC: a url emits on first sight and on a
+    strictly newer crawl (with prev_ts), stays silent on stale replays,
+    and the state survives a stream restart via the checkpoint."""
+    import datetime as dt
+
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType, TimestampType)
+
+    from tecs_hardware_kbc_spark.streaming.stateful import (
+        streaming_latest_crawl)
+
+    base = tmp_path_factory.mktemp("stateful")
+    landing = str(base / "landing")
+    out = str(base / "updates")
+    ckpt = str(base / "ckpt")
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+    ])
+    t0 = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+
+    def drain():
+        stream = (spark.readStream.schema(schema).parquet(landing))
+        (streaming_latest_crawl(stream).writeStream
+         .outputMode("update")
+         .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+        return spark.read.parquet(out).collect()
+
+    spark.createDataFrame(
+        [("a", t0, b""), ("b", t0, b"")], schema
+    ).write.mode("append").parquet(landing)
+    rows = drain()
+    assert {(r["url"], r["n_crawls"]) for r in rows} == {("a", 1), ("b", 1)}
+    assert all(r["prev_ts"] is None for r in rows)
+
+    # batch 2: newer crawl of a, STALE replay of b -> only a emits
+    spark.createDataFrame(
+        [("a", t0 + day, b""), ("b", t0 - day, b"")], schema
+    ).write.mode("append").parquet(landing)
+    rows = drain()
+    emitted = [r for r in rows if r["n_crawls"] == 2]
+    assert {r["url"] for r in emitted} == {"a"}
+    a2 = emitted[0]
+    assert a2["prev_ts"] == t0 and a2["warc_ts"] == t0 + day
