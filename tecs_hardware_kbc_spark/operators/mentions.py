@@ -300,7 +300,9 @@ def gain_mentions(grams: DataFrame, sentences: DataFrame,
     m = m.join(words, ["url", "position"])
     right = F.slice(F.col("_words_l"), F.col("wi") + F.col("n") + 1, F.lit(10))
     related = F.concat(right, lower_arr(F.col("_row2")))
-    cell = lower_arr(F.col("_row0"))  # cell grams ⊆ row grams; veto superset
+    # a table cell is one sentence in this model, so the mention's own
+    # words ARE its cell grams (get_cell_ngrams, opamp_matchers.py:44-47)
+    cell = F.col("_words_l")
     m = (
         m.filter(~(F.array_contains(cell, "f") & F.array_contains(cell, "=")))
         .filter(~overlaps(F.col("_row0"), GAIN_FILTER_KEYWORDS))
