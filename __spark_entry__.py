@@ -546,17 +546,77 @@ def emb_near_dup(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
-@_q("emb_near_dup_lsh")
+def _hyperplanes(tables: int, planes: int, dim: int = 64, seed: int = 42):
+    """The exact constants dedup.embedding_near_duplicates /
+    similarity.lsh_topk derive from RandomState(seed) — embedded as SQL
+    literals so DuckDB computes identical sign buckets."""
+    import numpy as np
+    return np.random.RandomState(seed).randn(tables, planes, dim)
+
+
+def _vec_lit(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _emb_near_dup_lsh_sql(threshold: float = 0.9, planes: int = 8,
+                          tables: int = 4) -> str:
+    hp = _hyperplanes(tables, planes)
+    buckets = "\n  UNION ALL ".join(
+        "SELECT vec_id, v, {t} AS t, ".format(t=t)
+        + " + ".join(
+            f"(CASE WHEN list_inner_product(v, {_vec_lit(hp[t][p])}) > 0 "
+            f"THEN {2 ** p} ELSE 0 END)" for p in range(planes))
+        + " AS bucket FROM e"
+        for t in range(tables))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS ({buckets}),
+pairs AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+  FROM b x JOIN b y USING (t, bucket) WHERE x.vec_id < y.vec_id)
+SELECT a, b, round(list_cosine_similarity(va, vb), 4) AS cosine
+FROM pairs WHERE list_cosine_similarity(va, vb) >= {threshold}
+"""
+
+
+@_q("emb_near_dup_lsh", _emb_near_dup_lsh_sql())
 def emb_near_dup_lsh(spark, sf):
     """The first-class scale path for embedding near-dup: multi-table
-    sign-bucket LSH + exact rerank (never all-pairs). Hyperplanes are
-    numpy-random, so no SQL oracle — rows-only here; the recall >= 0.9
-    contract vs the exact baseline is pinned by pytest."""
+    sign-bucket LSH + exact rerank (never all-pairs). The hyperplane
+    constants are embedded in the oracle SQL, so even the approximate path
+    is value-checked bit-for-bit; the recall >= 0.9 contract vs the exact
+    baseline is pinned by pytest."""
     from tecs_hardware_kbc_spark.operators.dedup import (
         embedding_near_duplicates)
-    out = embedding_near_duplicates(_t(spark, sf, "embeddings"),
-                                    threshold=0.9)
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    out = embedding_near_duplicates(emb, threshold=0.9)
     return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def _sim_lsh_topk_sql(k: int = 5, planes: int = 6) -> str:
+    hp = _hyperplanes(1, planes)[0]
+    bucket = " + ".join(
+        f"(CASE WHEN list_inner_product(v, {_vec_lit(hp[p])}) > 0 "
+        f"THEN {2 ** p} ELSE 0 END)" for p in range(planes))
+    probes = "[" + ", ".join(str(m) for m in [0] + [2 ** p for p in range(planes)]) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv,
+             xor(bucket, m.m) AS bucket
+      FROM c, unnest({probes}) AS m(m) WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_cosine_similarity(qv, c.v) AS cos
+  FROM q JOIN c USING (bucket) WHERE q.query_id != c.vec_id)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rnk
+  FROM (SELECT DISTINCT query_id, vec_id, cos FROM scored))
+WHERE rnk <= {k}
+"""
 
 
 @_q("doc_word_counter", f"""
@@ -811,13 +871,17 @@ def kbc_extract_invariant(spark, sf):
         "url", (udf(F.col("html")) == F.col("text")).alias("ok"))
 
 
-@_q("sim_lsh_topk")
+@_q("sim_lsh_topk", _sim_lsh_topk_sql())
 def sim_lsh_topk(spark, sf):
     from tecs_hardware_kbc_spark.operators.similarity import lsh_topk
-    emb = _t(spark, sf, "embeddings")
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, queries, k=5)
+    out = lsh_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"),
+                      F.col("rank").alias("rnk"))
 
 
 def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4,
