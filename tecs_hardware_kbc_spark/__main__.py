@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="optional doc-set file (one doc per line)")
     a.add_argument("--threshold", type=float, default=None)
 
+    k = sub.add_parser(
+        "compare-kb",
+        help="score one KB's entity set against another as metric "
+             "(reference digikey_analysis.py)")
+    k.add_argument("--kb", required=True, help="KB gold-format parquet/CSV")
+    k.add_argument("--gold", required=True, help="metric gold parquet/CSV")
+    k.add_argument("--attribute", required=True)
+    k.add_argument("--out", required=True)
+    k.add_argument("--docs", default=None)
+
     args = p.parse_args(argv)
 
     from tecs_hardware_kbc_spark.session import get_spark
@@ -102,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
             dev_probs_path=args.dev_probs, docs_path=args.docs,
             threshold=args.threshold,
         )
+        print(json.dumps(scores))
+        return 0
+
+    if args.cmd == "compare-kb":
+        from tecs_hardware_kbc_spark.analysis import compare_kb
+        scores = compare_kb(spark, args.kb, args.gold, args.attribute,
+                            args.out, docs_path=args.docs)
         print(json.dumps(scores))
         return 0
     return 1

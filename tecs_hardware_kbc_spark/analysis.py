@@ -104,3 +104,25 @@ def analyze(spark: SparkSession, probs_path: str, gold_path: str,
     write_discrepancies(final, gold,
                         f"{out_dir}/{attribute}_discrepancies")
     return scores
+
+
+def compare_kb(spark: SparkSession, kb_path: str, gold_path: str,
+               attribute: str, out_dir: str,
+               docs_path: str | None = None) -> dict:
+    """Cross-KB scoring (``digikey_analysis.py:20-60``): score one
+    knowledge base's entity set against another used as the metric —
+    the reference scores Digi-Key's catalog gold against their own gold
+    over the 66-doc overlap set — and write the FP/FN discrepancy CSV.
+    Both inputs are gold-format tables (filename, manuf, part, attribute,
+    value), parquet or CSV."""
+    kb = _read_gold(spark, kb_path).filter(F.col("attribute") == attribute)
+    gold = _read_gold(spark, gold_path).filter(
+        F.col("attribute") == attribute)
+    if docs_path:
+        docs = F.broadcast(_read_doc_set(spark, docs_path))
+        kb = kb.join(docs, "doc", "left_semi")
+        gold = gold.join(docs, "doc", "left_semi")
+    scores = entity_scores(kb, gold)
+    write_discrepancies(kb, gold,
+                        f"{out_dir}/{attribute}_kb_discrepancies")
+    return scores

@@ -82,3 +82,32 @@ def test_analyze_fixed_threshold(spark, tmp_path, prob_and_gold):
     # everything above 0 is predicted: the 99-FP widens to BC546B too
     assert scores["fp"] == 3
     assert scores["tp"] == 3
+
+
+def test_compare_kb_cli(spark, tmp_path, capsys):
+    """Cross-KB scoring (digikey_analysis.py flow): score KB entities
+    against a metric gold set, discrepancies to CSV."""
+    import glob as _glob
+
+    kb = spark.createDataFrame(
+        [("BC546", "dk", "BC546", "ce_v_max", "45"),
+         ("BC546", "dk", "BC546", "ce_v_max", "99"),   # FP vs our gold
+         ("2N222", "dk", "2N222", "ce_v_max", "60")],
+        "filename string, manuf string, part string, attribute string, "
+        "value string")
+    gold = spark.createDataFrame(
+        [("BC546", "m", "BC546", "ce_v_max", "45"),
+         ("2N222", "m", "2N222", "ce_v_max", "60"),
+         ("2N222", "m", "2N222", "ce_v_max", "80")],   # FN for the KB
+        "filename string, manuf string, part string, attribute string, "
+        "value string")
+    kb_p, gold_p = str(tmp_path / "kb.parquet"), str(tmp_path / "g.parquet")
+    kb.write.parquet(kb_p)
+    gold.write.parquet(gold_p)
+    out = str(tmp_path / "out")
+    rc = main(["compare-kb", "--kb", kb_p, "--gold", gold_p,
+               "--attribute", "ce_v_max", "--out", out])
+    assert rc == 0
+    scores = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (scores["tp"], scores["fp"], scores["fn"]) == (2, 1, 1)
+    assert _glob.glob(f"{out}/ce_v_max_kb_discrepancies/*.csv")
