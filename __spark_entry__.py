@@ -859,6 +859,37 @@ def kbc_lf_votes(spark, sf):
     )
 
 
+@_q("sim_ivf_topk")
+def sim_ivf_topk(spark, sf):
+    """IVF ANN scale path (k-means cells + n_probe pruning + exact rerank).
+    The coarse quantizer is spark.ml k-means — not SQL-replayable, so
+    rows-only here; recall >= 0.9 vs exact is pinned by pytest."""
+    from tecs_hardware_kbc_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 4).alias("cosine"),
+                      F.col("rank").alias("rnk"))
+
+
+@_q("dedup_components")
+def dedup_components(spark, sf):
+    """Near-dup pairs -> canonical groups via connected components
+    (iterative min-label propagation — no SQL oracle; transitive-closure
+    semantics pinned by pytest)."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        near_duplicate_components, simhash_near_duplicates)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    twins = d.select((F.col("doc_id") + 10000).alias("doc_id"),
+                     F.concat("text", F.lit(" zq")).alias("text"))
+    pairs = simhash_near_duplicates(
+        d.select("doc_id", "text").unionByName(twins), max_hamming=3)
+    return near_duplicate_components(pairs)
+
+
 @_q("kbc_extract_invariant")
 def kbc_extract_invariant(spark, sf):
     """One row per url with ok=true iff re-extracted text == stored text

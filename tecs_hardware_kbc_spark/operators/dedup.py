@@ -295,6 +295,21 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def near_duplicate_components(pairs: DataFrame, a_col: str = "a",
+                              b_col: str = "b") -> DataFrame:
+    """(doc_id, canonical_id): collapse any near-dup pair table (minhash,
+    simhash-hamming, embedding-LSH) into canonical groups via connected
+    components — so "keep one per group" is a single anti-join downstream.
+    Composition of the canonicalization CC over similarity edges."""
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        connected_components)
+
+    comp = connected_components(
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")))
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("canonical_id"))
+
+
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,

@@ -74,6 +74,70 @@ def _sign_bucket(vec_col, planes_matrix) -> Column:
     return bits
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 3, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id") -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruning scale
+    path: a coarse k-means quantizer (spark.ml, trained on a sample)
+    assigns every corpus vector to a cell; each query probes only its
+    ``n_probe`` nearest cells and reranks exactly inside them.
+
+    At 10^12 vectors the corpus is WRITTEN partitioned by ``cell`` so the
+    probe becomes Catalyst partition pruning at the scan — the fraction of
+    data touched is n_probe / n_cells. Centroids are a broadcast-sized
+    table. Recall vs the exact baseline is pinned by tests/test_similarity.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = np.array([np.asarray(c) for c in km.clusterCenters()])
+
+    def nearest_cells(vec, n: int):
+        """indices of the n nearest centroids, as an array column (the
+        centroid table is tiny — unrolled literals stay JVM-side)."""
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(vec,
+                           F.array(*[F.lit(float(x)) for x in centers[c]]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, v: acc + v).alias(f"_d{c}")
+            for c in range(len(centers))
+        ])
+        idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+        pairs = F.array_sort(F.zip_with(
+            dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
+        return F.slice(F.transform(pairs, lambda p: p["i"]), 1, n)
+
+    cvec = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), cvec.alias("cv"),
+        F.element_at(nearest_cells(cvec, 1), 1).alias("cell"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.explode(nearest_cells(F.col(vec_col).cast("array<double>"),
+                                n_probe)).alias("cell"),
+    )
+    scored = (
+        F.broadcast(q).join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              planes: int = 6, probe_bits: int = 1, seed: int = 42,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -194,3 +194,17 @@ def test_embedding_near_dup_recall_vs_exact(spark):
     assert recall >= 0.9, recall
     # bucketed pairs are a subset of exact (same cosine filter)
     assert lsh <= exact
+
+
+def test_near_duplicate_components(spark):
+    """Pair tables collapse into canonical groups: transitive pairs
+    (a-b, b-c) land in one component keyed by the min id."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        near_duplicate_components)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a long, b long")
+    comp = {r["doc_id"]: r["canonical_id"]
+            for r in near_duplicate_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[9] == 7

@@ -97,3 +97,30 @@ def test_lsh_topk_recall_clustered(spark):
         by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
     hits = sum(len(set(expect[q]) & by_q.get(q, set())) for q in range(30))
     assert hits / (30 * 5) >= 0.9, hits / 150
+
+
+def test_ivf_topk_recall_clustered(spark):
+    """IVF (k-means cells + n_probe) recall gate vs exact on clustered
+    data at defaults: recall@5 >= 0.9."""
+    from tecs_hardware_kbc_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(20):
+        base = rng.randn(16) * 3
+        for _ in range(8):
+            v = base + rng.randn(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").cache()
+    expect = _exact_topk_numpy(emb.collect(), k=5)
+    queries = emb.filter(F.col("vec_id") < 20) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_topk(emb, queries, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(set(expect[q]) & by_q.get(q, set())) for q in range(20))
+    assert hits / (20 * 5) >= 0.9, hits / 100
