@@ -619,6 +619,25 @@ WHERE rnk <= {k}
 """
 
 
+@_q("doc_fingerprints", f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(words[i:i+4], ' ')), 1, 8))
+           ::ubigint::bigint AS h
+       FROM w, unnest(generate_series(1, greatest(len(words) - 4, 1))) AS t(i)),
+agg AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS hs
+        FROM sh GROUP BY doc_id)
+SELECT d.doc_id, md5({_NORM_SQL}) AS fp_md5, to_json(a.hs[1:4]) AS fp_set
+FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+""")
+def doc_fingerprints(spark, sf):
+    """Winnowing-style document fingerprints (full-content md5 + k
+    smallest shingle hashes) — md5-derived, replayed in SQL."""
+    from tecs_hardware_kbc_spark.operators.textstats import fingerprint
+    out = fingerprint(_t(spark, sf, "documents"))
+    return out.withColumn("fp_set", F.to_json("fp_set"))
+
+
 @_q("doc_word_counter", f"""
 SELECT word, count(*) AS n
 FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
