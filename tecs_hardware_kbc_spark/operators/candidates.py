@@ -33,6 +33,38 @@ def pair_mentions(parts: DataFrame, attrs: DataFrame) -> DataFrame:
     return _prefixed(parts, "p_").join(_prefixed(attrs, "a_"), "url")
 
 
+def pair_mentions_salted(parts: DataFrame, attrs: DataFrame,
+                         buckets: int = 8,
+                         threshold: int = 10_000) -> DataFrame:
+    """The explicit-salting variant of the pairing join for hot crawl
+    domains beyond what AQE's skew split handles (north_rule): attr rows
+    on hot urls get a random salt in [0, buckets); part rows on hot urls
+    replicate over the full salt range; the join key becomes
+    (url, _salt), splitting each hot url's work across ``buckets`` tasks.
+    Result set is identical to ``pair_mentions`` (pinned by test)."""
+    hot = F.broadcast(
+        attrs.groupBy("url").count()
+        .filter(F.col("count") > threshold)
+        .select("url", F.lit(True).alias("_hot")))
+    a = (
+        _prefixed(attrs, "a_").join(hot, "url", "left")
+        .withColumn("_salt",
+                    F.when(F.col("_hot"),
+                           (F.rand(seed=7) * buckets).cast("int"))
+                    .otherwise(0))
+        .drop("_hot")
+    )
+    p = (
+        _prefixed(parts, "p_").join(hot, "url", "left")
+        .withColumn("_salt", F.explode(
+            F.when(F.col("_hot"),
+                   F.sequence(F.lit(0), F.lit(buckets - 1)))
+            .otherwise(F.array(F.lit(0)))))
+        .drop("_hot")
+    )
+    return p.join(a, ["url", "_salt"]).drop("_salt")
+
+
 def same_table():
     return (
         F.col("p_table_id").isNotNull()

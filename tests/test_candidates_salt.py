@@ -17,3 +17,24 @@ def test_salt_hot_keys(spark):
         .select("_salt").distinct().collect()
     assert hot_salts > 1                      # hot key split across buckets
     assert [r["_salt"] for r in cold_salts] == [0]  # cold keys untouched
+
+
+def test_salted_pair_join_identical_results(spark):
+    """pair_mentions_salted must produce exactly the pair set of the plain
+    join, while splitting hot-url work across salt buckets."""
+    from tecs_hardware_kbc_spark.operators.candidates import (
+        pair_mentions, pair_mentions_salted)
+
+    parts = spark.createDataFrame(
+        [("hot", f"P{i}") for i in range(20)] + [("cold", "P0")],
+        "url string, span string")
+    attrs = spark.createDataFrame(
+        [("hot", f"A{i}") for i in range(30)] + [("cold", "A0")],
+        "url string, span string")
+    plain = {(r["url"], r["p_span"], r["a_span"])
+             for r in pair_mentions(parts, attrs).collect()}
+    salted = [(r["url"], r["p_span"], r["a_span"])
+              for r in pair_mentions_salted(parts, attrs, buckets=4,
+                                            threshold=10).collect()]
+    assert set(salted) == plain
+    assert len(salted) == len(plain)  # no duplicate pairs from salting
