@@ -3,8 +3,10 @@
 The reference resumes via pickles and ``first_time``/``re_label`` flags
 (``transistors.py:296, 351-390, 419-437``). Our equivalent: every pipeline
 stage is an idempotent parquet table under ``<out_dir>/<stage>`` with a
-``_lineage.json`` sidecar recording row count, wall time, input stages and
-the Spark application id. ``StageRunner.run`` skips recomputation when the
+``_lineage.json`` sidecar recording row count, wall time, input stages,
+the Spark application id, and per-partition row counts + skew summary
+(min/max/avg rows per partition — the signal that tells an operator which
+stage needs salting). ``StageRunner.run`` skips recomputation when the
 checkpoint is complete (parquet ``_SUCCESS`` + lineage present) — the
 parquet-backed analog of Iceberg snapshot commits (swap the writer for
 ``writeTo(...).createOrReplace()`` on a cluster with an Iceberg catalog).
@@ -63,6 +65,23 @@ class StageRunner:
         out = self.spark.read.parquet(path)
         rows = out.count()
         wall = time.monotonic() - t0
+        # per-partition lineage (north_rule): row count per scan partition,
+        # plus the skew summary that tells an operator which stage needs
+        # salting. The full histogram is recorded while small; above 512
+        # partitions only the summary is kept.
+        import pyspark.sql.functions as F
+        per_part = sorted(
+            (r["p"], r["n"]) for r in
+            out.groupBy(F.spark_partition_id().alias("p"))
+            .count().withColumnRenamed("count", "n").collect()
+        )
+        counts = [n for _, n in per_part]
+        skew = {
+            "n_partitions": len(counts),
+            "min_rows": min(counts) if counts else 0,
+            "max_rows": max(counts) if counts else 0,
+            "avg_rows": round(sum(counts) / len(counts), 1) if counts else 0,
+        }
         lineage = {
             "stage": stage,
             "rows": rows,
@@ -70,6 +89,8 @@ class StageRunner:
             "inputs": inputs or [],
             "app_id": self.spark.sparkContext.applicationId,
             "partitions": out.rdd.getNumPartitions(),
+            "partition_skew": skew,
+            "partition_rows": dict(per_part) if len(counts) <= 512 else None,
         }
         with open(self._lineage_path(stage), "w") as f:
             json.dump(lineage, f, indent=2)

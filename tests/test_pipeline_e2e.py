@@ -83,6 +83,10 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     import os
     parts = os.listdir(f"{base}/out/triples")
     assert any(p.startswith("pred=") for p in parts)
+    # per-partition lineage sidecars (north_rule): row counts + skew
+    lin = json.load(open(f"{base}/out/sentences._lineage.json"))
+    assert lin["partition_skew"]["n_partitions"] >= 1
+    assert sum(lin["partition_rows"].values()) == lin["rows"]
 
 
 def test_multitask_supervision_clears_gate(spark, tiny_tables):
