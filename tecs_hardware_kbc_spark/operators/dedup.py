@@ -77,13 +77,20 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig array<bigint>): element i = min over shingles of the
-    seed-i md5 hash. Map-side partial aggregation keeps the shuffle tiny
-    (num_hashes longs per doc). (Measured: deriving 4 hashes from one
-    md5's u32 words is SLOWER here — aggregate buffers don't share the
-    digest subexpression — so each hash pays its own seeded md5.)"""
-    mins = [F.min(md5_u32(F.col("shingle"), seed=i)).alias(f"_h{i}")
-            for i in range(num_hashes)]
-    agg = shingles.groupBy("doc_id").agg(*mins)
+    seed-i md5 hash. The 16 hashes are computed once per DISTINCT shingle
+    (boilerplate shingles repeat ~10x across docs) and joined back — AQE
+    picks broadcast while the vocabulary is small; map-side partial
+    aggregation keeps the final shuffle tiny (num_hashes longs per doc).
+    (Measured: deriving 4 hashes from one md5's u32 words is SLOWER here —
+    aggregate buffers don't share the digest subexpression — so each hash
+    pays its own seeded md5.)"""
+    vocab = shingles.select("shingle").distinct().select(
+        "shingle",
+        *[md5_u32(F.col("shingle"), seed=i).alias(f"_h{i}")
+          for i in range(num_hashes)])
+    joined = shingles.join(vocab, "shingle")
+    mins = [F.min(f"_h{i}").alias(f"_h{i}") for i in range(num_hashes)]
+    agg = joined.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id",
         F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
