@@ -193,7 +193,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", md5_u32(F.col("tok")))
+    )
+    # hash the distinct token vocabulary once, join back (common tokens
+    # repeat thousands of times; AQE broadcasts the small vocab side)
+    vocab = toks.select("tok").distinct().withColumn(
+        "h", md5_u32(F.col("tok")))
+    toks = toks.join(vocab, "tok")
     bit_votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
@@ -232,11 +237,13 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.md5("tok")).select(
-        "doc_id",
+    )
+    vocab = toks.select("tok").distinct().withColumn("h", F.md5("tok")).select(
+        "tok",
         F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("h_lo"),
         F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("h_hi"),
     )
+    toks = toks.join(vocab, "tok").select("doc_id", "h_lo", "h_hi")
     votes = []
     for half in ("lo", "hi"):
         votes += [
