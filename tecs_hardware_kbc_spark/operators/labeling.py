@@ -372,12 +372,22 @@ def ce_v_max_lfs() -> dict[str, Column]:
 
 
 def gain_lfs() -> dict[str, Column]:
-    """Opamp gain LFs. The reference derives opamp marginals from dev-gold
-    membership (opamps.py:392-409); we instead vote with the same keyword
-    evidence its matcher uses (opamp_matchers.py:28-66), keeping the
-    pipeline fully self-supervised."""
+    """Opamp gain LFs: the reference's ACTIVE set is the single composite
+    ``pos_sen_lf`` (opamp_lfs.py:50-60,277-287 — every neg is commented
+    out): TRUE iff 'gain' in the row ngrams AND typ in the vertical
+    unigrams AND khz/mhz in the row AND NOT(bandwidth-without-gain),
+    else FALSE (never abstains). Kept alongside the matcher-evidence
+    extras from round 1 (opamp_matchers.py:28-66); vert == column under
+    the structural proxy."""
     row = F.col("_a_row")
+    col = F.col("_a_col")
+    pos_gain = overlaps(row, ["gain"])
+    pos_kw = overlaps(col, ["typ", "typ."]) & overlaps(row, ["khz", "mhz"])
+    neg_kw = overlaps(row, ["bandwidth"]) & ~overlaps(row, ["gain"])
     return {
+        "pos_sen_lf": F.when(pos_gain & pos_kw & ~neg_kw, TRUE)
+        .otherwise(FALSE),
+        # --- extras (matcher evidence, round 1) ---
         "gain_keywords_row": _T(overlaps(
             row, ["product", "gain", "unity", "bandwidth", "gbp", "gbw",
                   "gbwp"])),
@@ -390,13 +400,28 @@ def gain_lfs() -> dict[str, Column]:
 
 
 def current_lfs() -> dict[str, Column]:
-    """Opamp supply-current LFs (evidence of opamp_matchers.py:72-99)."""
+    """Opamp supply-current LFs — the reference's active ``current_lfs``
+    (opamp_lfs.py:224-298: pos_current, pos_current_units,
+    pos_current_typ, neg_current_keywords_in_{column,vert,row},
+    neg_low_page_num; vert == column under the structural proxy) plus the
+    matcher-evidence extras from round 1 (opamp_matchers.py:72-99)."""
     row = F.col("_a_row")
+    col = F.col("_a_col")
+    neg_col_kw = ["over", "temperature", "vgn", "f", "-3", "db", "dbc",
+                  "min", "max"]
     return {
-        "supply_keywords_row": _T(overlaps(
-            row, ["supply", "quiescent", "iq", "is", "idd", "icc"])),
-        "current_units_row": _T(overlaps(
-            row, ["ma", "μa", "ua", "µa", "a"])),
+        # --- reference actives ---
+        "pos_current": _T(overlaps(
+            row, ["supply", "quiescent", "iq", "is", "idd"])),
+        "pos_current_units": _T(overlaps(
+            row, ["ma", "μa", "ua", "µa", "a"])),
+        "pos_current_typ": _T(overlaps(col, ["typ", "typ."])),
+        "neg_current_keywords_in_column": _F(overlaps(col, neg_col_kw)),
+        "neg_current_keywords_in_vert": _F(overlaps(col, neg_col_kw)),
+        "neg_current_keywords_in_row": _F(overlaps(
+            row, ["output", "drive", "voltage", "io"])),
+        "neg_low_page_num": _F(F.col("a_page") > 8),
+        # --- extras (matcher evidence, round 1) ---
         "current_filter_keywords": _F(overlaps(
             row, ["offset", "bias", "logic", "shutdown"])),
         "first_page": _T(F.col("a_page") == 1),
