@@ -579,7 +579,7 @@ FROM pairs WHERE list_cosine_similarity(va, vb) >= {threshold}
 """
 
 
-@_q("emb_near_dup_lsh", _emb_near_dup_lsh_sql())
+@_q("emb_near_dup_lsh", _emb_near_dup_lsh_sql(threshold=0.4))
 def emb_near_dup_lsh(spark, sf):
     """The first-class scale path for embedding near-dup: multi-table
     sign-bucket LSH + exact rerank (never all-pairs). The hyperplane
@@ -590,7 +590,7 @@ def emb_near_dup_lsh(spark, sf):
         embedding_near_duplicates)
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    out = embedding_near_duplicates(emb, threshold=0.9)
+    out = embedding_near_duplicates(emb, threshold=0.4)
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
