@@ -64,3 +64,41 @@ def test_subtoken_grams_anchor_inside_their_word(spark, words):
     for r in subs:
         assert text[r["char_start"]:r["char_end"] + 1] == r["span"], \
             (words, r)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FF),
+               max_size=400))
+def test_parser_total_on_garbage_html(html):
+    """Common-Crawl reality: the structural parser must be TOTAL on
+    arbitrary byte soup — never raise, always deterministic, and the
+    byte-identical invariant must hold on its own output."""
+    from tecs_hardware_kbc_spark.operators.extract import (
+        extract_text, parse_html)
+
+    s1 = parse_html(html)
+    s2 = parse_html(html)
+    assert s1 == s2                          # deterministic
+    assert extract_text(html) == "\n".join(x["text"] for x in s1)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.sampled_from(["<table>", "</table>", "<tr>", "</tr>", "<td>x 1</td>",
+                     "<td>", "</td>", "<p>a b.</p>", "<h1>T</h1>", "</p>",
+                     "<script>var x=1;</script>", "text &amp; more",
+                     "<li>item</li>", "<table><tr><td>n</td>"]),
+    max_size=20))
+def test_parser_total_on_malformed_structure(parts):
+    """Unclosed/mismatched tags, stray close tags, nested tables: the
+    parser must stay total and self-consistent."""
+    from tecs_hardware_kbc_spark.operators.extract import (
+        extract_text, parse_html)
+
+    html = "<html><body>" + "".join(parts)  # deliberately unterminated
+    rows = parse_html(html)
+    assert extract_text(html) == "\n".join(x["text"] for x in rows)
+    for r in rows:
+        assert r["text"].strip() == r["text"] and r["text"]
+        if r["is_tabular"]:
+            assert r["table_id"] is not None
