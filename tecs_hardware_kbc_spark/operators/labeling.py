@@ -191,7 +191,11 @@ def stg_temp_lfs(kind: str) -> dict[str, Column]:
         "tstg_row": _T(overlaps(row, ["tstg", "stg", "ts"])),
         "not_temp_relevant": _F(
             ~overlaps(al, ["storage", "temperature", "tstg", "stg", "ts"])),
-        "voltage_aligned": _F(overlaps(al, ["voltage", "cbo", "ceo", "ebo", "v"])),
+        # the reference's active list carries BOTH voltage twins — two
+        # textually identical LFs (transistor_lfs.py:126-144,189-203), i.e.
+        # a deliberately doubled FALSE vote; reproduced by name
+        "voltage_row_temp": _F(overlaps(al, ["voltage", "cbo", "ceo", "ebo", "v"])),
+        "voltage_row_part": _F(overlaps(al, ["voltage", "cbo", "ceo", "ebo", "v"])),
         "current_aligned": _F(overlaps(al, ["current", "dc", "ic"])),
         "collector_aligned": _F(overlaps(
             al, ["collector", "collector-current", "collector-base",
