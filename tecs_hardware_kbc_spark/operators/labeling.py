@@ -239,6 +239,11 @@ def polarity_lfs() -> dict[str, Column]:
             ["silicon", "power", "darlington", "epitaxial", "low noise",
              "ampl/switch", "switch", "surface", "mount"], lower=False)),
         "part_tabular_aligned": _T(aligned()),
+        # LF_polarity_part_viz_aligned (transistor_lfs.py:219-220) reads
+        # visual bbox alignment; under the HTML-only structural proxy
+        # (horz == same row, vert == same col) it coincides with the
+        # tabular variant — kept by name, as with the voltage twins
+        "part_viz_aligned": _T(aligned()),
         "right_of_part": _T(F.array_contains(
             F.slice(F.col("_p_words"), F.col("p_wi") + F.col("p_n") + 1,
                     F.lit(10)),
