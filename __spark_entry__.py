@@ -814,7 +814,8 @@ def _lf_votes_sql() -> str:
         "operating_row": "CASE WHEN list_has_any(a_row, ['operating']) THEN 0 ELSE -1 END",
         "tstg_row": "CASE WHEN list_has_any(a_row, ['tstg','stg','ts']) THEN 1 ELSE -1 END",
         "not_temp_relevant": f"CASE WHEN NOT list_has_any({al}, ['storage','temperature','tstg','stg','ts']) THEN 0 ELSE -1 END",
-        "voltage_aligned": f"CASE WHEN list_has_any({al}, ['voltage','cbo','ceo','ebo','v']) THEN 0 ELSE -1 END",
+        "voltage_row_temp": f"CASE WHEN list_has_any({al}, ['voltage','cbo','ceo','ebo','v']) THEN 0 ELSE -1 END",
+        "voltage_row_part": f"CASE WHEN list_has_any({al}, ['voltage','cbo','ceo','ebo','v']) THEN 0 ELSE -1 END",
         "current_aligned": f"CASE WHEN list_has_any({al}, ['current','dc','ic']) THEN 0 ELSE -1 END",
         "collector_aligned": f"CASE WHEN list_has_any({al}, ['collector','collector-current','collector-base','collector-emitter']) THEN 0 ELSE -1 END",
         "temp_on_high_page": "CASE WHEN a_page > 2 THEN 0 ELSE -1 END",
