@@ -895,11 +895,28 @@ def sim_ivf_topk(spark, sf):
                       F.col("rank").alias("rnk"))
 
 
-@_q("dedup_components")
+def _dedup_components_sql() -> str:
+    """Connected components replayed as a recursive transitive closure —
+    viable at oracle scale (components here are twin pairs); the Spark
+    side's min-label propagation is the scale path."""
+    return f"""
+WITH RECURSIVE pairs AS ({_simhash_hamming_sql()}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+FROM reach GROUP BY u
+"""
+
+
+@_q("dedup_components", _dedup_components_sql())
 def dedup_components(spark, sf):
     """Near-dup pairs -> canonical groups via connected components
-    (iterative min-label propagation — no SQL oracle; transitive-closure
-    semantics pinned by pytest)."""
+    (iterative min-label propagation on the Spark side; the oracle
+    replays it as a recursive transitive closure)."""
     from tecs_hardware_kbc_spark.operators.dedup import (
         near_duplicate_components, simhash_near_duplicates)
     d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
