@@ -44,6 +44,17 @@ def _sf_label() -> str:
     return os.path.basename(SF_DIR.rstrip("/"))
 
 
+def _ramp_cpu(seconds: float = 2.0) -> None:
+    """Busy-spin all cores briefly so the host's frequency governor ramps
+    up BEFORE any timed lap (idle host downclocks 1.5-3x; see BENCH.md
+    caveats). Cheap insurance against recording a downclocked number."""
+    import numpy as np
+    a = np.ones((1500, 1500))
+    end = time.monotonic() + seconds
+    while time.monotonic() < end:
+        (a @ a)  # multithreaded BLAS keeps many cores busy
+
+
 def run_suite() -> dict:
     import __spark_entry__ as E
     from tecs_hardware_kbc_spark.corpus import distributed_corpus
@@ -63,8 +74,12 @@ def run_suite() -> dict:
     n_page_rows = pages.count()
     gen_s = time.monotonic() - t0
 
-    # three in-process runs, report the best (the host downclocks when
-    # idle; cold-start JIT + frequency ramp inflate early runs ~1.5-3x)
+    # lap 0 is an UNTIMED warm-up of the full kbc DAG (JIT-compiles every
+    # codegen stage + ramps the host clock), then timed best-of-3 (the host
+    # downclocks when idle; cold runs are 1.5-3x slower than warm)
+    _ramp_cpu()
+    result = run_kbc(spark, pages, gaz, gold)
+    n_triples = result.triples.count()
     kbc_s = None
     for _ in range(3):
         t0 = time.monotonic()
@@ -77,7 +92,7 @@ def run_suite() -> dict:
     qs = E.queries()
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):  # min-of-2: filters cold-JIT/downclock spikes
+        for _ in range(3):  # min-of-3: filters cold-JIT/downclock spikes
             t0 = time.monotonic()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             d = time.monotonic() - t0
@@ -149,6 +164,70 @@ def run_datapath(cpus: int, pages: int, repeats: int = 5) -> dict:
     return {"cpus": cpus, "pages": n_rows, "sec": round(best, 3),
             "pages_per_sec": round(n_rows / best, 1),
             "entities": n_entities}
+
+
+def run_stage_profile(cpus: int, pages: int, repeats: int = 3) -> dict:
+    """Per-stage wall clock of the datapath (VERDICT r2 #4: find where the
+    extra cores idle). Each stage is materialized (localCheckpoint+count)
+    so its timing is isolated; run at 8 and at 32 cores and compare
+    per-stage efficiency — the stage whose efficiency is worst is the
+    strong-scaling bottleneck."""
+    import time as _t
+
+    from tecs_hardware_kbc_spark.corpus import distributed_corpus
+    from tecs_hardware_kbc_spark.operators import candidates as C2
+    from tecs_hardware_kbc_spark.operators import context as X
+    from tecs_hardware_kbc_spark.operators import mentions as M
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    from tecs_hardware_kbc_spark.operators.labeling import (
+        RELATION_NEEDS, apply_lfs, build_sentence_context, with_context)
+    from tecs_hardware_kbc_spark.operators.linking import to_entities
+    from tecs_hardware_kbc_spark.pipeline import ingest
+    from tecs_hardware_kbc_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pg, gold, gaz = distributed_corpus(spark, pages, seed=42)
+    pg.count()
+    _ramp_cpu()
+
+    best: dict[str, float] = {}
+
+    def run_once() -> dict[str, float]:
+        t: dict[str, float] = {}
+
+        def stage(name, thunk):
+            t0 = _t.monotonic()
+            out = thunk()
+            df = out.localCheckpoint() if hasattr(out, "localCheckpoint") \
+                else out
+            if hasattr(df, "count"):
+                df.count()
+            t[name] = round(_t.monotonic() - t0, 3)
+            return df
+
+        sentences = stage("parse", lambda: parse_pages(ingest(pg)))
+        grams = stage("grams", lambda: M.gram_space(sentences))
+        row = stage("row_ngrams", lambda: X.build_row_ngrams(grams))
+        col = stage("col_ngrams", lambda: X.build_col_ngrams(grams))
+        parts = stage("part_mentions", lambda: M.part_mentions(grams, gaz))
+        temps = stage("temp_mentions", lambda: M.temp_mentions(grams, "min"))
+        sc = stage("sentence_ctx",
+                   lambda: build_sentence_context(sentences, grams))
+        cands = stage("candidates",
+                      lambda: C2.stg_temp_candidates(parts, temps))
+        stage("lf_entities", lambda: to_entities(
+            apply_lfs(with_context(cands, sc, row, col,
+                                   needs=RELATION_NEEDS["stg_temp_min"]),
+                      "stg_temp_min"), "stg_temp_min"))
+        return t
+
+    for _ in range(repeats):
+        t = run_once()
+        for k, v in t.items():
+            best[k] = min(best.get(k, v), v)
+    best["TOTAL"] = round(sum(v for k, v in best.items() if k != "TOTAL"), 3)
+    return {"cpus": cpus, "pages": pages, "stages": best}
 
 
 def run_scaling() -> None:
@@ -253,6 +332,10 @@ Full JSON:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--stages" in sys.argv:
+        n = (int(N_PAGES_ENV) if N_PAGES_ENV
+             else PAGES_BY_SF.get(_sf_label(), 8000))
+        print(json.dumps(run_stage_profile(CPUS, n)))
     elif "--datapath" in sys.argv:
         n = (int(N_PAGES_ENV) if N_PAGES_ENV
              else PAGES_BY_SF.get(_sf_label(), 8000))
