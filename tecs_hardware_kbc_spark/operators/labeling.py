@@ -240,9 +240,10 @@ def polarity_lfs() -> dict[str, Column]:
              "ampl/switch", "switch", "surface", "mount"], lower=False)),
         "part_tabular_aligned": _T(aligned()),
         # LF_polarity_part_viz_aligned (transistor_lfs.py:219-220) reads
-        # visual bbox alignment; under the HTML-only structural proxy
-        # (horz == same row, vert == same col) it coincides with the
-        # tabular variant — kept by name, as with the voltage twins
+        # visual bbox alignment; on an HTML-only corpus the structural
+        # proxy stands in (and coincides with the tabular variant). When
+        # the frame carries bbox columns, apply_lfs swaps in the true
+        # interval-overlap form via _visual_lf_overrides.
         "part_viz_aligned": _T(aligned()),
         "right_of_part": _T(F.array_contains(
             F.slice(F.col("_p_words"), F.col("p_wi") + F.col("p_n") + 1,
@@ -422,8 +423,11 @@ def current_lfs() -> dict[str, Column]:
         # --- reference actives ---
         "pos_current": _T(overlaps(
             row, ["supply", "quiescent", "iq", "is", "idd"])),
+        # reference's list ends in 'a' (PDF symbol-font µ + a), NOT
+        # the bare article 'a' — substituting bare 'a' made this TRUE vote
+        # fire on nearly every row; keep the ligature form only
         "pos_current_units": _T(overlaps(
-            row, ["ma", "μa", "ua", "µa", "a"])),
+            row, ["ma", "μa", "ua", "µa", "a"])),
         "pos_current_typ": _T(overlaps(col, ["typ", "typ."])),
         "neg_current_keywords_in_column": _F(overlaps(col, neg_col_kw)),
         "neg_current_keywords_in_vert": _F(overlaps(col, neg_col_kw)),
@@ -496,6 +500,26 @@ LF_SETS = {
 }
 
 
+def _visual_lf_overrides(relation: str) -> dict[str, Column]:
+    """True-bbox forms of the LFs whose structural proxies coincide with
+    their tabular variants on an HTML-only corpus (VERDICT r2 gap #2):
+    applied only when the candidate frame carries visual columns, each
+    falls back per-row to the structural proxy where coords are null."""
+    from tecs_hardware_kbc_spark.operators.visual import (
+        aligned_hybrid, both_in_top_third_viz)
+
+    if relation == "polarity":
+        structural_top_third = (
+            (F.col("p_page") == 1) & (F.col("a_page") == 1)
+            & (F.col("p_position") <= 16) & (F.col("a_position") <= 16))
+        return {
+            "part_viz_aligned": _T(aligned_hybrid()),
+            "both_in_top_third": _T(
+                both_in_top_third_viz(structural=structural_top_third)),
+        }
+    return {}
+
+
 def apply_lfs(cands_ctx: DataFrame, relation: str) -> DataFrame:
     """Compute the LF vote array + aggregated marginal for one relation.
 
@@ -503,6 +527,8 @@ def apply_lfs(cands_ctx: DataFrame, relation: str) -> DataFrame:
     LF order = sorted names, recorded in ``lf_names``) and ``prob``.
     """
     lfs = LF_SETS[relation]()
+    if "p_v_top" in cands_ctx.columns:
+        lfs.update(_visual_lf_overrides(relation))
     names = sorted(lfs)
     votes = F.array(*[lfs[n].cast("int") for n in names]).alias("lf_votes")
     out = cands_ctx.select(

@@ -38,3 +38,39 @@ def test_salted_pair_join_identical_results(spark):
                                             threshold=10).collect()]
     assert set(salted) == plain
     assert len(salted) == len(plain)  # no duplicate pairs from salting
+
+
+def test_pair_mentions_default_is_salted(spark):
+    """The skew guard is wired into the DEFAULT pairing plan: above the
+    threshold the join key is (url, _salt) with the part side exploded
+    over the salt range; results stay identical to the unguarded join."""
+    import contextlib
+    import io
+
+    from tecs_hardware_kbc_spark.operators.candidates import pair_mentions
+
+    parts = spark.createDataFrame(
+        [("hot", f"P{i}") for i in range(20)] + [("cold", "P0")],
+        "url string, span string")
+    attrs = spark.createDataFrame(
+        [("hot", f"A{i}") for i in range(30)] + [("cold", "A0")],
+        "url string, span string")
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    guarded = pair_mentions(parts, attrs, salt_threshold=10)
+    assert "_salt" in plan(guarded)       # salted join key in the plan
+    plain = pair_mentions(parts, attrs, salt_threshold=None)
+    assert "_salt" not in plan(plain)
+    key = lambda r: (r["url"], r["p_span"], r["a_span"])  # noqa: E731
+    assert (sorted(map(key, guarded.collect()))
+            == sorted(map(key, plain.collect())))
+    # default threshold (10k) on a cold dataset: the guard is present but
+    # every salt is 0 — result equivalence holds there too
+    cold_default = pair_mentions(parts, attrs)
+    assert (sorted(map(key, cold_default.collect()))
+            == sorted(map(key, plain.collect())))
