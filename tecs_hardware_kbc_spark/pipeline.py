@@ -48,9 +48,8 @@ from tecs_hardware_kbc_spark.operators.linking import (
     widen_aliases,
 )
 from tecs_hardware_kbc_spark.operators.scoring import (
-    best_threshold,
-    entity_scores,
-    threshold_sweep,
+    is_dev_doc,
+    tune_and_score,
 )
 
 BINARY_RELATIONS = ["stg_temp_min", "stg_temp_max", "polarity", "ce_v_max"]
@@ -61,21 +60,29 @@ ALL_RELATIONS = BINARY_RELATIONS + UNARY_RELATIONS
 def ingest(pages: DataFrame, lang: str | None = "en") -> DataFrame:
     """Latest crawl per url (late re-crawl dedup) + language filter.
 
+    Order matters: latest-crawl selection FIRST, then the language filter —
+    a url whose newest crawl is non-English is dropped, not resurrected via
+    a stale superseded English crawl. This mirrors ``streaming_latest_crawl``,
+    which tracks the true latest crawl per url regardless of language.
+
     ``max_by`` aggregation, not a row_number window: one shuffle with
-    map-side partial aggregation (the window variant shuffles every
-    duplicate row in full), and downstream stages read the aggregation's
-    partitioning directly — no second full shuffle of the html blobs
-    before the parse UDF (the session's AQE coalesce floor keeps this
-    exchange at full parallelism; see session.py).
+    map-side partial aggregation (each mapper keeps only its local latest
+    per url, so shuffle volume is bounded by distinct urls per mapper even
+    without a pre-filter — the window variant shuffles every duplicate row
+    in full), and downstream stages read the aggregation's partitioning
+    directly — no second full shuffle of the html blobs before the parse
+    UDF (the session's AQE coalesce floor keeps this exchange at full
+    parallelism; see session.py).
     """
-    if lang:
-        pages = pages.filter(F.col("lang") == lang)
     others = [c for c in pages.columns if c != "url"]
-    return (
+    latest = (
         pages.groupBy("url")
         .agg(F.max_by(F.struct(*others), "warc_ts").alias("_s"))
         .select("url", *[F.col(f"_s.{c}").alias(c) for c in others])
     )
+    if lang:
+        latest = latest.filter(F.col("lang") == lang)
+    return latest
 
 
 @dataclass
@@ -141,17 +148,21 @@ def build_ce_context(grams: DataFrame) -> dict[str, DataFrame]:
 
 
 def relation_candidates(rel: str, mentions: dict[str, DataFrame],
-                        ctx: dict[str, DataFrame]) -> DataFrame:
+                        ctx: dict[str, DataFrame],
+                        visual: DataFrame | None = None) -> DataFrame:
     parts = mentions["part"]
     if rel == "stg_temp_min":
-        return C.stg_temp_candidates(parts, mentions["stg_temp_min"])
+        return C.stg_temp_candidates(parts, mentions["stg_temp_min"],
+                                     visual=visual)
     if rel == "stg_temp_max":
-        return C.stg_temp_candidates(parts, mentions["stg_temp_max"])
+        return C.stg_temp_candidates(parts, mentions["stg_temp_max"],
+                                     visual=visual)
     if rel == "polarity":
-        return C.polarity_candidates(parts, mentions["polarity"], ctx["row"])
+        return C.polarity_candidates(parts, mentions["polarity"], ctx["row"],
+                                     visual=visual)
     if rel == "ce_v_max":
         return C.ce_v_max_candidates(parts, mentions["ce_v_max"],
-                                     ctx["row"], ctx["col"])
+                                     ctx["row"], ctx["col"], visual=visual)
     if rel == "typ_gbp":
         return C.unary_candidates(mentions["gain"])
     if rel == "typ_supply_current":
@@ -182,15 +193,24 @@ def run_kbc(
     sweep: bool = True,
     default_threshold: float = 0.5,
     supervision: str = "votes",
+    visual_coords: DataFrame | None = None,
 ) -> KBCResult:
     """The flagship job. With ``gold``: per-relation threshold sweep and
     P/R/F1; without: fixed ``default_threshold``.
+
+    ``visual_coords``: optional per-sentence bbox sidecar (url, position,
+    v_top/v_left/v_bottom/v_right). When provided, candidate throttlers
+    use true visual alignment and the viz LFs their bbox forms, falling
+    back per-row to the structural proxies (operators/visual.py).
 
     ``supervision``: "votes" (Laplace vote ratio), "weighted_votes"
     (agreement-statistics accuracy weighting — the LabelModel stand-in),
     or "multitask" (the reference's full flow: featurize -> frozen key
     space -> shared-trunk multi-task LR trained on the weak labels ->
-    model marginals, transistors.py:350-567).
+    model marginals, transistors.py:350-567). The multitask trainer
+    collects the per-relation sparse matrices to the driver — see the
+    size bound in ``fit_logreg_multitask``'s COST CONTRACT; beyond it,
+    use ``features.fit_logreg_distributed`` (spark.ml LBFGS) per task.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -236,11 +256,13 @@ def run_kbc(
         )
         gold_ents = (gold_entities(gold).persist()
                      if gold is not None else None)
-        gold_totals: dict[str, int] = {}
+        gold_totals: dict[tuple[str, bool], int] = {}
         if gold_ents is not None and sweep:
             gold_totals = {
-                r["attribute"]: r["n"]
-                for r in gold_ents.groupBy("attribute")
+                (r["attribute"], r["_dev"]): r["n"]
+                for r in gold_ents
+                .withColumn("_dev", is_dev_doc(F.col("doc")))
+                .groupBy("attribute", "_dev")
                 .agg(F.count("*").alias("n")).collect()
             }
         parts_by_doc = (
@@ -272,7 +294,8 @@ def run_kbc(
         extra = {k: f.result() for k, f in extra_f.items()} if extra_f else {}
 
         def score_relation(rel: str) -> DataFrame:
-            cands = relation_candidates(rel, mentions, ctx)
+            cands = relation_candidates(rel, mentions, ctx,
+                                        visual=visual_coords)
             needs = set(RELATION_NEEDS[rel])
             if supervision == "multitask":
                 # the feature layer reads the same context arrays the LFs do
@@ -342,14 +365,14 @@ def run_kbc(
             ents = ents.localCheckpoint()
             if sweep and gold_ents is not None:
                 rel_gold = gold_ents.filter(F.col("attribute") == rel)
-                # the best sweep row already carries tp/fp/fn/P/R/F1 at the
-                # chosen threshold — no re-scoring pass needed
-                best = best_threshold(threshold_sweep(
-                    ents, rel_gold, gold_total=gold_totals.get(rel, 0)))
-                b = float(best["b"])
-                stats = {k: best[k] for k in
-                         ("tp", "fp", "fn", "precision", "recall", "f1")}
-                stats["b"] = b
+                # dev-tune/test-report (reference protocol): b = argmax-F1
+                # on the dev doc slice; reported P/R/F1 comes from the
+                # disjoint test slice at that b
+                b, stats = tune_and_score(
+                    ents, rel_gold,
+                    dev_total=gold_totals.get((rel, True), 0),
+                    test_total=gold_totals.get((rel, False), 0),
+                    default_threshold=default_threshold)
             else:
                 b, stats = default_threshold, None
             return ents.filter(F.col("prob") > b), b, stats
@@ -468,12 +491,11 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
         ).persist()
         if gold_ents is not None:
             rel_gold = gold_ents.filter(F.col("attribute") == rel)
-            best = best_threshold(threshold_sweep(ents, rel_gold))
-            b = float(best["b"])
+            # dev-tune/test-report, as in run_kbc
+            b, stats = tune_and_score(ents, rel_gold)
             thresholds[rel] = b
             final = ents.filter(F.col("prob") > b)
-            scores[rel] = entity_scores(final, rel_gold)
-            scores[rel]["b"] = b
+            scores[rel] = stats
         else:
             thresholds[rel] = 0.5
             final = ents.filter(F.col("prob") > 0.5)

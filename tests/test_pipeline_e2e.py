@@ -26,15 +26,20 @@ def test_all_relations_scored(result):
 
 
 def test_precision_recall_gate(result):
-    agg_tp = sum(s["tp"] for s in result.scores.values())
-    agg_fp = sum(s["fp"] for s in result.scores.values())
-    agg_fn = sum(s["fn"] for s in result.scores.values())
+    """BASELINE gate on the held-out TEST slice: the threshold is tuned on
+    the disjoint dev slice (dev-tune/test-report, reference protocol)."""
+    agg_tp = sum(s["test"]["tp"] for s in result.scores.values())
+    agg_fp = sum(s["test"]["fp"] for s in result.scores.values())
+    agg_fn = sum(s["test"]["fn"] for s in result.scores.values())
     precision = agg_tp / (agg_tp + agg_fp)
     recall = agg_tp / (agg_tp + agg_fn)
     assert precision >= 0.95, result.scores
     assert recall >= 0.95, result.scores
     for rel, s in result.scores.items():
-        assert s["precision"] >= 0.9, (rel, s)
+        assert s["test"]["precision"] >= 0.9, (rel, s)
+        # both slices are populated: the split actually held gold out
+        assert s["dev"]["tp"] + s["dev"]["fn"] > 0, (rel, s)
+        assert s["test"]["tp"] + s["test"]["fn"] > 0, (rel, s)
 
 
 def test_weighted_supervision_clears_gate(spark, tiny_tables):
@@ -42,7 +47,8 @@ def test_weighted_supervision_clears_gate(spark, tiny_tables):
                   tiny_tables["gold"], supervision="weighted_votes",
                   relations=["stg_temp_max", "polarity"])
     for rel, s in res.scores.items():
-        assert s["precision"] >= 0.9 and s["recall"] >= 0.9, (rel, s)
+        t = s["test"]
+        assert t["precision"] >= 0.9 and t["recall"] >= 0.9, (rel, s)
 
 
 def test_triples_shape(result):
@@ -64,6 +70,24 @@ def test_ingest_dedups_recrawls(spark, tiny_tables):
     # keeps the LATEST warc_ts per url
     latest = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
     assert clean.join(latest, ["url", "warc_ts"], "left_anti").count() == 0
+
+
+def test_ingest_drops_url_whose_latest_crawl_is_foreign(spark):
+    """Latest-crawl selection runs BEFORE the language filter: a url whose
+    newest crawl is non-English is dropped, never resurrected via a stale
+    superseded English crawl (mirrors streaming_latest_crawl)."""
+    import datetime as dt
+    rows = [
+        ("http://a", dt.datetime(2024, 1, 1), b"<p>old</p>", "old", "en"),
+        ("http://a", dt.datetime(2024, 6, 1), b"<p>neu</p>", "neu", "de"),
+        ("http://b", dt.datetime(2024, 1, 1), b"<p>alt</p>", "alt", "de"),
+        ("http://b", dt.datetime(2024, 6, 1), b"<p>new</p>", "new", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+    got = {r["url"]: r["text"] for r in ingest(pages).collect()}
+    assert got == {"http://b": "new"}
 
 
 def test_checkpoint_resume(spark, tmp_path_factory):
@@ -96,4 +120,5 @@ def test_multitask_supervision_clears_gate(spark, tiny_tables):
                   tiny_tables["gold"], supervision="multitask",
                   relations=["stg_temp_max", "polarity"])
     for rel, s in res.scores.items():
-        assert s["precision"] >= 0.9 and s["recall"] >= 0.9, (rel, s)
+        t = s["test"]
+        assert t["precision"] >= 0.9 and t["recall"] >= 0.9, (rel, s)
