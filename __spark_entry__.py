@@ -704,8 +704,12 @@ WITH d AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents
 tok AS (SELECT doc_id, words, i, words[i] AS w
         FROM d, unnest(generate_series(1, len(words))) AS t(i)),
 off AS (SELECT doc_id, words, i, w,
+        -- ::bigint: DuckDB's windowed sum promotes to a wide type that the
+        -- driver's pandas canonicalizer renders as float ("0.0" vs Spark's
+        -- "0"), breaking the value hash even though values are identical.
         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0)::bigint AS cs
         FROM tok),
 wg AS (SELECT doc_id, array_to_string(words[i:i+g-1], ' ') AS span,
          i - 1 AS wi, g AS n, cs AS char_start,
@@ -879,17 +883,53 @@ def kbc_lf_votes(spark, sf):
     )
 
 
-@_q("sim_ivf_topk")
+def _sim_ivf_sql(k: int = 5, n_probe: int = 3) -> str:
+    """DuckDB replay of the frozen-quantizer IVF path: cell assignment
+    (argmax of dot(v,c) - |c|²/2 over the committed centroids), n_probe
+    nearest cells per query, exact cosine rerank inside probed cells."""
+    from tecs_hardware_kbc_spark.operators.ivf_centroids import IVF_CENTROIDS
+    n = len(IVF_CENTROIDS)
+    scores = ", ".join(
+        f"(list_inner_product(v, {_vec_lit(c)}) - "
+        f"{repr(0.5 * sum(float(x) * float(x) for x in c))})"
+        for c in IVF_CENTROIDS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, [{scores}] AS scores FROM e),
+c AS (SELECT vec_id, v,
+             list_position(scores, list_max(scores)) - 1 AS cell FROM s),
+q AS (SELECT vec_id AS query_id, v AS qv, i - 1 AS cell
+      FROM (SELECT vec_id, v, scores, i,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY scores[i] DESC, i) AS pr
+            FROM s, unnest(generate_series(1, {n})) AS t(i)
+            WHERE vec_id < 5)
+      WHERE pr <= {n_probe}),
+scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(qv, c.v) AS cos
+  FROM q JOIN c USING (cell) WHERE q.query_id != c.vec_id)
+SELECT query_id, vec_id, round(cos, 4) AS cosine, rnk FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+@_q("sim_ivf_topk", _sim_ivf_sql())
 def sim_ivf_topk(spark, sf):
-    """IVF ANN scale path (k-means cells + n_probe pruning + exact rerank).
-    The coarse quantizer is spark.ml k-means — not SQL-replayable, so
-    rows-only here; recall >= 0.9 vs exact is pinned by pytest."""
+    """IVF ANN scale path (k-means cells + n_probe pruning + exact rerank),
+    hash-checked vs DuckDB via the FROZEN quantizer (ivf_centroids.py —
+    k-means run once, converged centroids committed as literals, like the
+    LSH hyperplanes); recall >= 0.9 vs exact is pinned by pytest."""
+    from tecs_hardware_kbc_spark.operators.ivf_centroids import IVF_CENTROIDS
     from tecs_hardware_kbc_spark.operators.similarity import ivf_topk
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 5) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
-    out = ivf_topk(emb, queries, k=5)
+    out = ivf_topk(emb, queries, k=5, centroids=IVF_CENTROIDS)
     return out.select("query_id", "vec_id",
                       F.round("cosine", 4).alias("cosine"),
                       F.col("rank").alias("rnk"))
@@ -985,6 +1025,42 @@ def dedup_minhash_pairs(spark, sf):
     from tecs_hardware_kbc_spark.operators.dedup import minhash_near_duplicates
     out = minhash_near_duplicates(_t(spark, sf, "documents"), threshold=0.5)
     return out.withColumn("est_jaccard", F.round("est_jaccard", 4))
+
+
+def _dedup_e2e_sql() -> str:
+    """The full dedup recipe replayed: minhash+LSH pairs -> recursive-CTE
+    transitive closure -> keep the min doc_id per component."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+          FROM reach GROUP BY u)
+SELECT d.doc_id FROM documents d
+LEFT JOIN canon c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.canonical_id = d.doc_id
+"""
+
+
+@_q("dedup_e2e", _dedup_e2e_sql())
+def dedup_e2e(spark, sf):
+    """The actual 100 TB dedup recipe as ONE checked query: minhash
+    signatures -> banded LSH candidate pairs -> connected components ->
+    keep-one-per-group anti-join over the documents table. Every stage is
+    bucketed/iterative (no all-pairs anywhere); the survivor set is the
+    min doc_id of each near-dup component plus every unpaired doc."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        minhash_near_duplicates, near_duplicate_components)
+    d = _t(spark, sf, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.5)
+    comp = near_duplicate_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("canonical_id")) \
+        .select("doc_id")
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
 def _media_sql() -> str:

@@ -74,22 +74,11 @@ def _sign_bucket(vec_col, planes_matrix) -> Column:
     return bits
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_cells: int = 16, n_probe: int = 3, seed: int = 42,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id") -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the partition-pruning scale
-    path: a coarse k-means quantizer (spark.ml, trained on a sample)
-    assigns every corpus vector to a cell; each query probes only its
-    ``n_probe`` nearest cells and reranks exactly inside them.
-
-    At 10^12 vectors the corpus is WRITTEN partitioned by ``cell`` so the
-    probe becomes Catalyst partition pruning at the scan — the fraction of
-    data touched is n_probe / n_cells. Centroids are a broadcast-sized
-    table. Recall vs the exact baseline is pinned by tests/test_similarity.
-    """
-    import numpy as np
-
+def train_centroids(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Coarse quantizer training (spark.ml k-means) — run ONCE, then pass
+    the converged centroids to ``ivf_topk`` (and embed them as literals in
+    any oracle replay; see operators/ivf_centroids.py)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -97,33 +86,64 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         array_to_vector(F.col(vec_col).cast("array<double>"))
         .alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centers = np.array([np.asarray(c) for c in km.clusterCenters()])
+    return [[float(x) for x in c] for c in km.clusterCenters()]
 
-    def nearest_cells(vec, n: int):
-        """indices of the n nearest centroids, as an array column (the
-        centroid table is tiny — unrolled literals stay JVM-side)."""
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(vec,
-                           F.array(*[F.lit(float(x)) for x in centers[c]]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, v: acc + v).alias(f"_d{c}")
-            for c in range(len(centers))
-        ])
-        idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
-        pairs = F.array_sort(F.zip_with(
-            dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
-        return F.slice(F.transform(pairs, lambda p: p["i"]), 1, n)
+
+def nearest_cells(vec, centers, n: int):
+    """Indices of the n nearest centroids, as an array column (the
+    centroid table is tiny — unrolled literals stay JVM-side).
+
+    "Nearest" is scored as ``dot(v, c) - |c|²/2`` (argmax), identical to
+    euclidean argmin but one fused dot product per centroid — and exactly
+    replayable in DuckDB as ``list_inner_product(v, c) - |c|²/2``. Ties
+    break toward the lower cell index in both engines."""
+    scores = F.array(*[
+        F.aggregate(
+            F.zip_with(vec,
+                       F.array(*[F.lit(float(x)) for x in centers[c]]),
+                       lambda a, b: a * b),
+            F.lit(-0.5 * sum(float(x) * float(x) for x in centers[c])),
+            lambda acc, v: acc + v).alias(f"_s{c}")
+        for c in range(len(centers))
+    ])
+    idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+    pairs = F.array_sort(F.zip_with(
+        scores, idx, lambda s, i: F.struct((-s).alias("d"), i.alias("i"))))
+    return F.slice(F.transform(pairs, lambda p: p["i"]), 1, n)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 16, n_probe: int = 3, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the partition-pruning scale
+    path: a coarse k-means quantizer assigns every corpus vector to a
+    cell; each query probes only its ``n_probe`` nearest cells and reranks
+    exactly inside them.
+
+    ``centroids``: a frozen quantizer (list of vectors). When omitted,
+    k-means is trained on the corpus per call — convenient, but at scale
+    (and for deterministic replay) train once via ``train_centroids`` and
+    pass the result.
+
+    At 10^12 vectors the corpus is WRITTEN partitioned by ``cell`` so the
+    probe becomes Catalyst partition pruning at the scan — the fraction of
+    data touched is n_probe / n_cells. Centroids are a broadcast-sized
+    table. Recall vs the exact baseline is pinned by tests/test_similarity.
+    """
+    centers = (centroids if centroids is not None
+               else train_centroids(corpus, n_cells, seed, vec_col))
 
     cvec = F.col(vec_col).cast("array<double>")
     c = corpus.select(
         F.col(id_col).alias("vec_id"), cvec.alias("cv"),
-        F.element_at(nearest_cells(cvec, 1), 1).alias("cell"))
+        F.element_at(nearest_cells(cvec, centers, 1), 1).alias("cell"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.explode(nearest_cells(F.col(vec_col).cast("array<double>"),
-                                n_probe)).alias("cell"),
+                                centers, n_probe)).alias("cell"),
     )
     scored = (
         F.broadcast(q).join(c, "cell")
