@@ -98,7 +98,12 @@ def feature_vocabulary(featurized_train: DataFrame) -> DataFrame:
 
     keys = (featurized_train.select(F.explode("features").alias("key"))
             .distinct().repartitionByRange("key"))
-    parts = keys.withColumn("_pid", F.spark_partition_id())
+    # Materialize ONCE before collecting counts: repartitionByRange draws
+    # its boundaries from sampling and AQE may re-plan partition counts, so
+    # re-executing this plan for the offset map and again for the final
+    # select could assign rows to different _pids — duplicate/gapped
+    # indices. localCheckpoint pins the partitioning both passes read.
+    parts = keys.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = {r["_pid"]: r["n"] for r in
               parts.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     offsets, total = {}, 0
@@ -215,6 +220,15 @@ def fit_logreg_multitask(encoded_by_task: dict[str, DataFrame],
     round-robin batch scheduler. Driver-side numpy on the collected sparse
     matrices (the reference's train matrices also fit on one node);
     inference stays distributed via ``predict_logreg``.
+
+    COST CONTRACT: this collects every task's (feature_idx, label) rows to
+    the driver — O(sum_t candidates_t * avg_keys) ints + O(#tasks *
+    vocab_size) float64 weights. Candidates are per-doc extraction spans,
+    so even a 10^12-page corpus yields ~10^6-10^8 training candidates
+    (the reference's full corpus: ~10^4); at ~30 keys/candidate that is
+    single-digit GB at the top end. If the candidate set outgrows the
+    driver, switch to ``fit_logreg_distributed`` (spark.ml LBFGS) per
+    task — same encoded input, no collect.
 
     Returns ``{"heads": {task: {"weights", "bias"}}}`` where each head's
     weights are the merged (trunk + residual) map, directly consumable by

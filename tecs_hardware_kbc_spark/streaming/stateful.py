@@ -5,13 +5,22 @@ stream: per-url ``GroupState`` holds the newest crawl timestamp seen so
 far, and a row is emitted ONLY when a strictly newer crawl supersedes it —
 the streaming form of the batch ``ingest()`` latest-per-url dedup, with
 state instead of a shuffle-the-world window. Built on
-``applyInPandasWithState`` (Arrow-batched per group, bounded state via
-processing-time timeout).
+``applyInPandasWithState`` (Arrow-batched per group).
 
 At 10^12 urls the state store is the scaling concern: state is one
 timestamp per url, partitioned by the stream's groupBy hash — RocksDB
-state store on a real cluster; timeouts age out urls that stop
-re-crawling.
+state store on a real cluster — and bounded by a processing-time timeout:
+urls that stop re-crawling for ``state_ttl_minutes`` are evicted
+(``state.remove()`` on ``hasTimedOut``). The documented tradeoff: after
+eviction, a *stale* replay of an evicted url re-emits as a first sight;
+size the TTL above the source's replay horizon (Common Crawl re-crawl
+cadence is weeks, replays are hours).
+
+Trigger caveat: with ProcessingTimeTimeout registered, the engine's
+``shouldRunAnotherBatch`` stays true (it must keep running batches to
+fire future timeouts), so an ``availableNow``/``once`` backfill never
+terminates. Use the TTL only on continuously-running streams; pass
+``state_ttl_minutes=0`` (NoTimeout) for bounded drains.
 """
 
 from __future__ import annotations
@@ -36,50 +45,76 @@ STATE_SCHEMA = T.StructType([
     T.StructField("n_crawls", T.LongType(), False),
 ])
 
-
-def _update(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    url = key[0]
-    batch_max = None
-    n_new = 0
-    for pdf in pdfs:
-        n_new += len(pdf)
-        m = pdf["warc_ts"].max()
-        batch_max = m if batch_max is None else max(batch_max, m)
-    if state.exists:
-        old_us, n_seen = state.get
-    else:
-        old_us, n_seen = None, 0
-    batch_us = int(pd.Timestamp(batch_max).value // 1000)
-    n_total = n_seen + n_new
-    if old_us is None or batch_us > old_us:
-        state.update((batch_us, n_total))
-        prev = (pd.Timestamp(old_us * 1000) if old_us is not None
-                else pd.NaT)
-        yield pd.DataFrame([{
-            "url": url,
-            "warc_ts": pd.Timestamp(batch_us * 1000),
-            "prev_ts": prev,
-            "n_crawls": n_total,
-        }])
-    else:
-        state.update((old_us, n_total))
+# Module-level so the serialized closure carries it; 0 = no timeout (tests
+# that restart the query within one TTL window use the default).
+DEFAULT_STATE_TTL_MINUTES = 7 * 24 * 60
 
 
-def streaming_latest_crawl(pages_stream: DataFrame) -> DataFrame:
+def _make_update(ttl_minutes: int):
+    def _update(key: Any, pdfs: Iterator[pd.DataFrame],
+                state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle url aged out: drop its timestamp; a later crawl row
+            # (fresh or stale replay) will re-register as first sight
+            state.remove()
+            return
+        url = key[0]
+        batch_max = None
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            m = pdf["warc_ts"].max()
+            batch_max = m if batch_max is None else max(batch_max, m)
+        if state.exists:
+            old_us, n_seen = state.get
+        else:
+            old_us, n_seen = None, 0
+        batch_us = int(pd.Timestamp(batch_max).value // 1000)
+        n_total = n_seen + n_new
+        if old_us is None or batch_us > old_us:
+            state.update((batch_us, n_total))
+            prev = (pd.Timestamp(old_us * 1000) if old_us is not None
+                    else pd.NaT)
+            out = pd.DataFrame([{
+                "url": url,
+                "warc_ts": pd.Timestamp(batch_us * 1000),
+                "prev_ts": prev,
+                "n_crawls": n_total,
+            }])
+        else:
+            state.update((old_us, n_total))
+            out = None
+        if ttl_minutes > 0:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if out is not None:
+            yield out
+
+    return _update
+
+
+def streaming_latest_crawl(pages_stream: DataFrame,
+                           state_ttl_minutes: int = DEFAULT_STATE_TTL_MINUTES,
+                           ) -> DataFrame:
     """(url, warc_ts, prev_ts, n_crawls) — one row per url per micro-batch
     in which a strictly newer crawl arrived. ``prev_ts`` is the superseded
     timestamp (null on first sight); ``n_crawls`` counts every crawl row
-    ever seen for the url, including stale replays that emit nothing."""
+    ever seen for the url, including stale replays that emit nothing.
+
+    ``state_ttl_minutes`` bounds per-url state: urls with no activity for
+    the TTL are evicted via processing-time timeout (pass 0 to disable,
+    e.g. in tests that pause the stream longer than the TTL)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if state_ttl_minutes > 0 else GroupStateTimeout.NoTimeout)
     return (
         pages_stream.select("url", "warc_ts")
         .groupBy("url")
         .applyInPandasWithState(
-            _update,
+            _make_update(state_ttl_minutes),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

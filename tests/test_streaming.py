@@ -60,7 +60,10 @@ def test_stateful_latest_crawl_cdc(spark, tmp_path_factory):
 
     def drain():
         stream = (spark.readStream.schema(schema).parquet(landing))
-        (streaming_latest_crawl(stream).writeStream
+        # ttl=0 (NoTimeout): ProcessingTimeTimeout keeps the engine's
+        # shouldRunAnotherBatch true while any timeout is registered, so an
+        # availableNow drain would never terminate (see stateful.py docs)
+        (streaming_latest_crawl(stream, state_ttl_minutes=0).writeStream
          .outputMode("update")
          .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
          .option("checkpointLocation", ckpt)
@@ -83,3 +86,71 @@ def test_stateful_latest_crawl_cdc(spark, tmp_path_factory):
     assert {r["url"] for r in emitted} == {"a"}
     a2 = emitted[0]
     assert a2["prev_ts"] == t0 and a2["warc_ts"] == t0 + day
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the update function
+    (the live ProcessingTimeTimeout path can't run under availableNow —
+    see stateful.py's trigger caveat)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_ttl_unit():
+    """TTL registration, timeout eviction, and post-eviction re-register
+    as first sight — exercised directly on the update closure."""
+    import pandas as pd
+
+    from tecs_hardware_kbc_spark.streaming.stateful import _make_update
+
+    upd = _make_update(ttl_minutes=60)
+    ts = pd.Timestamp("2024-01-01")
+
+    # first sight: emits, registers a 60-minute timeout
+    st = _FakeState()
+    out = list(upd(("u",), iter([pd.DataFrame({"warc_ts": [ts]})]), st))
+    assert len(out) == 1 and out[0]["n_crawls"].iloc[0] == 1
+    assert st.timeout_ms == 60 * 60 * 1000 and st.exists
+
+    # stale replay: silent, but the timeout is re-armed (activity)
+    st.timeout_ms = None
+    out = list(upd(("u",), iter(
+        [pd.DataFrame({"warc_ts": [ts - pd.Timedelta(days=1)]})]), st))
+    assert out == [] and st.timeout_ms == 60 * 60 * 1000
+
+    # timeout fires: state evicted, nothing emitted
+    st.hasTimedOut = True
+    out = list(upd(("u",), iter([]), st))
+    assert out == [] and st.removed and not st.exists
+
+    # post-eviction crawl re-registers as first sight (documented tradeoff)
+    st = _FakeState()
+    out = list(upd(("u",), iter([pd.DataFrame({"warc_ts": [ts]})]), st))
+    assert len(out) == 1 and out[0]["prev_ts"].isna().iloc[0]
+
+    # ttl=0 path never registers a timeout
+    upd0 = _make_update(ttl_minutes=0)
+    st = _FakeState()
+    list(upd0(("u",), iter([pd.DataFrame({"warc_ts": [ts]})]), st))
+    assert st.timeout_ms is None

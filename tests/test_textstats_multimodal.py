@@ -82,6 +82,47 @@ def test_media_feature_extraction(spark, media):
     assert feats2["m1"] == by_id["m1"]["features"]
 
 
+def _tiny_png(w: int = 7, h: int = 5) -> bytes:
+    """A real, minimal grayscale PNG built with stdlib zlib only."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * w for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_header_parse_real_dimensions():
+    """The header-parse tier reads REAL dimensions from valid containers
+    and rejects everything else (stub path keeps its md5 dims)."""
+    from tecs_hardware_kbc_spark.operators.multimodal import (
+        _parse_image_header, decode_media)
+    assert _parse_image_header(_tiny_png(7, 5)) == (7, 5)
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 4
+    assert _parse_image_header(gif) == (12, 34)
+    assert _parse_image_header(b"\x89PNG-fake-bytes-1") is None
+    assert _parse_image_header(b"plain text payload") is None
+    d = decode_media(_tiny_png(300, 200), "image")
+    assert (d["width"], d["height"]) == (300, 200)
+    assert len(d["features"]) == 8  # stub features unless PIL is present
+
+
+def test_pil_decode_branch():
+    """Exercises the full-PIL tier when the library is installed."""
+    pytest.importorskip("PIL")
+    from tecs_hardware_kbc_spark.operators.multimodal import _pil_decode
+    d = _pil_decode(_tiny_png(7, 5), "image")
+    assert d is not None and (d["width"], d["height"]) == (7, 5)
+    assert d["n_frames"] == 1 and len(d["features"]) == 8
+    assert all(0.0 <= f <= 1.0 for f in d["features"])
+
+
 def test_media_plans(spark, media):
     feats = extract_media_features(media)
     kept = size_filter(feats, min_px=50)
