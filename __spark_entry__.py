@@ -745,6 +745,44 @@ def kbc_gram_space(spark, sf):
         F.col("g.char_end").alias("char_end"))
 
 
+def _lingual_tags_sql() -> str:
+    """DuckDB replay of the lingual-lite POS/NER taggers (lingual.py) over
+    case-preserving whitespace tokens of the documents table."""
+    from tecs_hardware_kbc_spark.operators.lingual import lingual_sql
+    words = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    pos, ner = lingual_sql("words")
+    return f"""
+WITH d AS (SELECT doc_id, {words} AS words FROM documents WHERE doc_id < 60),
+tagged AS (SELECT doc_id, words, {pos} AS pos, {ner} AS ner FROM d)
+SELECT doc_id, i - 1 AS ti, words[i] AS word,
+       pos[i] AS pos_tag, ner[i] AS ner_tag
+FROM tagged, unnest(generate_series(1, len(words))) AS t(i)
+"""
+
+
+@_q("kbc_lingual_tags", _lingual_tags_sql())
+def kbc_lingual_tags(spark, sf):
+    """Lingual-lite annotations (fonduer parse's pos_tags/ner_tags leg,
+    transistor_spaces.py:206-224 / transistor_lfs.py:434-436): both tag
+    streams hash-checked per token vs the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.lingual import (ner_tag_col,
+                                                           pos_tag_col)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    words = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    return (
+        d.select("doc_id", words.alias("words"),
+                 pos_tag_col(words).alias("pos"),
+                 ner_tag_col(words).alias("ner"))
+        .select("doc_id", F.posexplode(
+            F.arrays_zip(F.col("words").alias("word"),
+                         F.col("pos").alias("pos_tag"),
+                         F.col("ner").alias("ner_tag"))).alias("ti", "z"))
+        .select("doc_id", "ti", F.col("z.word").alias("word"),
+                F.col("z.pos_tag").alias("pos_tag"),
+                F.col("z.ner_tag").alias("ner_tag"))
+    )
+
+
 def _synth_mention_cols(kind: str) -> str:
     """(SQL) deterministic mention attributes from md5(doc_id:kind:i)."""
     h = f"md5(doc_id::varchar || ':{kind}:' || i::varchar)"
@@ -803,6 +841,102 @@ def kbc_candidate_join(spark, sf):
                                 _synth_mentions(d, "temp"))
     return cands.select("url", "p_span", "a_span", "p_table_id", "a_table_id",
                         "p_row", "a_row", "p_col", "a_col", "p_is_tabular")
+
+
+def _visual_align_sql() -> str:
+    """DuckDB replay of the visual alignment predicates (visual.py):
+    fonduer's center-in-range horz/vert bbox alignment, the hybrid form
+    (structural fallback where coords are null), and top-third."""
+    def byte(j: int) -> str:
+        return f"(('0x' || substr(h, {2 * j + 1}, 2))::int)"
+
+    def side(name: str, p: str) -> str:
+        return f"""
+{name} AS (SELECT url, span AS {p}span, table_id AS {p}table_id,
+       row AS {p}row, col AS {p}col,
+       1 + {byte(3)} % 2 AS {p}page,
+       CASE WHEN {byte(0)} % 4 > 0 THEN ({byte(1)} % 80 * 3)::double END AS {p}v_top,
+       CASE WHEN {byte(0)} % 4 > 0 THEN ({byte(1)} % 80 * 3 + 18)::double END AS {p}v_bottom,
+       CASE WHEN {byte(0)} % 4 > 0 THEN ({byte(2)} * 2)::double END AS {p}v_left,
+       CASE WHEN {byte(0)} % 4 > 0 THEN ({byte(2)} * 2 + 120)::double END AS {p}v_right
+  FROM (SELECT *, md5(url || ':viz:' || span) AS h FROM {name}0))"""
+
+    horz = """((p_page = a_page) AND (
+        ((p_v_top + p_v_bottom) / 2.0 BETWEEN a_v_top AND a_v_bottom)
+        OR ((a_v_top + a_v_bottom) / 2.0 BETWEEN p_v_top AND p_v_bottom)))"""
+    vert = """((p_page = a_page) AND (
+        ((p_v_left + p_v_right) / 2.0 BETWEEN a_v_left AND a_v_right)
+        OR ((a_v_left + a_v_right) / 2.0 BETWEEN p_v_left AND p_v_right)))"""
+    structural = """(p_table_id IS NOT NULL AND p_table_id = a_table_id
+        AND (p_row = a_row OR p_col = a_col))"""
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+parts0 AS (SELECT {_synth_mention_cols('part')}
+           FROM ids, unnest(generate_series(0, 3)) AS t(i)),
+attrs0 AS (SELECT {_synth_mention_cols('temp')}
+           FROM ids, unnest(generate_series(0, 3)) AS t(i)),
+{side('parts', 'p_')},
+{side('attrs', 'a_')}
+SELECT url, p_span, a_span,
+  (p_v_top IS NOT NULL AND a_v_top IS NOT NULL) AS has_viz,
+  coalesce({horz}, false) AS horz,
+  coalesce({vert}, false) AS vert,
+  CASE WHEN p_v_top IS NOT NULL AND a_v_top IS NOT NULL
+       THEN {horz} OR {vert} ELSE {structural} END AS hybrid_aligned,
+  coalesce(p_page = 1 AND a_page = 1
+           AND p_v_top / 792.0 < 1.0 / 3.0
+           AND a_v_top / 792.0 < 1.0 / 3.0, false) AS top_third
+FROM parts p JOIN attrs a USING (url)
+"""
+
+
+def _with_synth_visual(m: DataFrame, prefix: str) -> DataFrame:
+    """md5-derived bbox columns for a synthetic mention side; ~1/4 of the
+    mentions stay coordinate-free to exercise the structural fallback."""
+    h = F.md5(F.concat(F.col("url"), F.lit(":viz:"), F.col("span")))
+
+    def byte(j: int):
+        return F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int")
+
+    present = byte(0) % 4 > 0
+    v_top = (byte(1) % 80 * 3).cast("double")
+    v_left = (byte(2) * 2).cast("double")
+    return m.select(
+        "url", F.col("span").alias(f"{prefix}span"),
+        F.col("table_id").alias(f"{prefix}table_id"),
+        F.col("row").alias(f"{prefix}row"),
+        F.col("col").alias(f"{prefix}col"),
+        (1 + byte(3) % 2).alias(f"{prefix}page"),
+        F.when(present, v_top).alias(f"{prefix}v_top"),
+        F.when(present, v_top + 18).alias(f"{prefix}v_bottom"),
+        F.when(present, v_left).alias(f"{prefix}v_left"),
+        F.when(present, v_left + 120).alias(f"{prefix}v_right"),
+    )
+
+
+@_q("kbc_visual_align", _visual_align_sql())
+def kbc_visual_align(spark, sf):
+    """W3/J2 visual leg: fonduer's bbox alignment predicates
+    (is_horz_aligned / is_vert_aligned center-in-range, the hybrid
+    structural fallback, get_page_vert_percentile top-third;
+    transistor_throttlers.py:56-65, transistor_lfs.py:231-241) —
+    hash-checked per pair vs the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.candidates import aligned
+    from tecs_hardware_kbc_spark.operators.visual import (
+        both_in_top_third_viz, has_visual, horz_aligned_viz,
+        vert_aligned_viz)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    pairs = _with_synth_visual(_synth_mentions(d, "part"), "p_").join(
+        _with_synth_visual(_synth_mentions(d, "temp"), "a_"), "url")
+    return pairs.select(
+        "url", "p_span", "a_span",
+        has_visual().alias("has_viz"),
+        F.coalesce(horz_aligned_viz(), F.lit(False)).alias("horz"),
+        F.coalesce(vert_aligned_viz(), F.lit(False)).alias("vert"),
+        F.when(has_visual(), horz_aligned_viz() | vert_aligned_viz())
+        .otherwise(aligned()).alias("hybrid_aligned"),
+        F.coalesce(both_in_top_third_viz(), F.lit(False)).alias("top_third"),
+    )
 
 
 def _lf_votes_sql() -> str:

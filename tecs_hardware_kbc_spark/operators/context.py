@@ -265,13 +265,17 @@ def build_neighbor_cell_ngrams(grams: DataFrame, dist: int = 5,
 
 
 def build_row_number_counts(grams: DataFrame) -> DataFrame:
-    """(url, table_id, row, n_numbers): count of numeric unigrams in the
-    row — the structural proxy of counting 'number' ner_tags along the
-    visual line (``LF_too_many_numbers_horz``, transistor_lfs.py:434-436)."""
+    """(url, table_id, row, n_numbers): count of 'number'-tagged unigrams
+    in the row — the structural projection of counting 'number' ner_tags
+    along the visual line (``LF_too_many_numbers_horz``,
+    transistor_lfs.py:434-436). Shares the engine-wide numeric definition
+    with the lingual tagger (lingual.NUMBER_RE) so LFs that read either
+    surface agree."""
+    from tecs_hardware_kbc_spark.operators.lingual import NUMBER_RE
     return (
         grams.filter(
             F.col("table_id").isNotNull() & (F.col("n") == 1)
-            & F.regexp_like("raw_span", F.lit(r"^[+-]?\d+(?:\.\d+)?$")))
+            & F.regexp_like("raw_span", F.lit(NUMBER_RE)))
         .groupBy("url", "table_id", "row")
         .agg(F.count("*").alias("n_numbers"))
     )
