@@ -86,17 +86,22 @@ def doc_key(url: str) -> str:
 
 
 def _part_family(rng: random.Random, i: int) -> list[str]:
-    """Page i's part family. The numeric core 100 + 4*i is unique per page
-    (stride 4 leaves room for up to 3 sibling variants), so cross-page part
-    collisions cannot occur below ~25k transistor pages; styles whose regex
-    caps the digit count fall back to the EECA form once the core outgrows
-    them."""
+    """Page i's part family. The numeric core 100 + 4*(i mod 24975) is
+    unique per page within a 24975-page block (stride 4 leaves room for up
+    to 3 sibling variants); beyond one block the EECA prefix rotates with a
+    block shift (+2 per block, and 24977 is odd so d blocks apart means
+    prefix indices d apart mod 4), keeping (prefix, core) collision-free
+    below 4 x 24975 = 99,900 transistor pages. Block 0 reproduces the
+    historical scheme byte-for-byte, so small-scale corpora (tests, driver
+    entries) are unchanged. Styles whose regex caps the digit count fall
+    back to the EECA form once the core outgrows them."""
     style = i % 4
-    core = 100 + (4 * i) % 99900
-    if style != 0 and core > 9899:
+    block, j = divmod(i, 24975)
+    core = 100 + 4 * j
+    if style != 0 and (core > 9899 or block > 0):
         style = 0  # jedec/jis/house digit ranges exhausted -> EECA form
     if style == 0:
-        base = f"{_EECA_PREFIXES[i % len(_EECA_PREFIXES)]}{core}"
+        base = f"{_EECA_PREFIXES[(i + 2 * block) % len(_EECA_PREFIXES)]}{core}"
     elif style == 1:
         base = f"2N{core}"
     elif style == 2:
