@@ -68,13 +68,25 @@ MENTION_COLS = ["url", "position", "mention_type", "span", "raw_span",
                 "row", "col", "tag", "page", "is_tabular"]
 
 
-def gram_space(sentences: DataFrame) -> DataFrame:
+def gram_space(sentences: DataFrame, materialize: bool = False) -> DataFrame:
     """The FULL exploded gram table (computed once per corpus and shared by
     every matcher and context builder — each then applies a cheap ``n``
-    filter). ``n == 0`` = sub-token / punctuation-stripped grams."""
+    filter). ``n == 0`` = sub-token / punctuation-stripped grams.
+
+    ``materialize=True`` evaluates the gram HOF once and localCheckpoints
+    the COMPACT one-row-per-sentence array form — the context columns are
+    stored once per sentence instead of once per gram (~25x less row
+    volume on the memory bus), and consumers re-run only the cheap explode
+    against the cached arrays. Callers using this MUST NOT checkpoint the
+    returned (exploded) frame again — that would re-inflate it."""
     from tecs_hardware_kbc_spark.operators.extract import grams_col
 
-    g = sentences.select(*_CTX_COLS, F.explode(grams_col()).alias("g"))
+    if materialize:
+        arr = sentences.select(*_CTX_COLS, grams_col().alias("_grams")) \
+                       .localCheckpoint()
+        g = arr.select(*_CTX_COLS, F.explode("_grams").alias("g"))
+    else:
+        g = sentences.select(*_CTX_COLS, F.explode(grams_col()).alias("g"))
     return g.select(
         *_CTX_COLS,
         F.col("g.span").alias("raw_span"),

@@ -33,6 +33,20 @@ def get_spark(
         except ValueError:
             shuffle_partitions = 32
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    # Young-gen sized to half the heap: the pipeline churns short-lived
+    # allocation (gram arrays, codegen rows), and with the 48g heap's
+    # default NewRatio the young gen is small enough that minor GCs were
+    # measured at 40% of wall clock on a 32-core 64k-page run; -Xmn at
+    # heap/2 cut the fused datapath 28s -> 21s (A/B'd vs G1 — faster once
+    # but 2x variance — and ZGC — consistent but 24% slower).
+    try:
+        unit = driver_mem[-1].lower()
+        half = max(int(driver_mem[:-1]) // 2, 1)
+        young = f"-Xmn{half}{unit}" if unit in ("g", "m") else ""
+    except (ValueError, IndexError):
+        young = ""
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -53,13 +67,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # local[*] runs everything in ONE JVM: size the heap for the
         # checkpointed stage tables or GC dominates and scaling inverts
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # throughput GC: the pipeline is allocation-heavy (gram explode,
-        # array columns); ParallelGC beats G1 by ~1.4x at high core counts
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # array columns); ParallelGC beats G1 by ~1.4x at high core counts,
+        # and the explicit young gen (above) keeps minor-GC time ~flat as
+        # cores grow — without it GC was 40% of wall at 32 cores
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:+UseParallelGC {young}".strip())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
