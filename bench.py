@@ -358,6 +358,12 @@ efficiency column is (8-core sec) / (32-core sec) / 4.
   hence best-of-N warm repeats. Same-code consecutive-lap variance on this
   host has been observed up to 4x (20.8s vs 84.1s) — single laps mean
   nothing here.
+* NOT comparable to round-2 BENCH.md scaling rows: the probe moved from
+  16k to 64k pages. At 16k, fixed per-job overhead dominates the 8-core
+  quarter-input reference and FLATTERS weak efficiency (r2's 0.78-0.90);
+  at 64k the same code measures the honest regime. The 16k strong-scaling
+  row is also no longer meaningful — at that size 32 cores measures
+  SLOWER than 8 (per-stage work below task overhead).
 * Round-3 optimizations baked into these numbers: the gram table is
   checkpointed in its compact pre-explode array form (context columns
   cached once per sentence, not once per gram; 1.75x end-to-end), and the
