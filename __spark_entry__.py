@@ -939,6 +939,73 @@ def kbc_visual_align(spark, sf):
     )
 
 
+def _figures_sql() -> str:
+    """DuckDB replay of the figure pipeline's planted-dimension math
+    (figures.planted_dims) + the HasFigures min-dim filter. The Spark side
+    obtains width/height by DECODING real PNG header bytes — equality here
+    proves the synthesize -> container -> header-parse loop end-to-end."""
+    def byte(j: int) -> str:
+        return f"(('0x' || substr(h, {2 * j + 1}, 2))::int)"
+
+    return f"""
+WITH d AS (SELECT 'doc://' || doc_id AS url,
+           ('0x' || substr(md5('doc://' || doc_id || ':nf'), 1, 2))::int % 4
+           AS nf
+           FROM documents WHERE doc_id < 80),
+figs AS (SELECT url, 'fig' || i || '.png' AS src
+         FROM d, unnest(generate_series(0, nf - 1)) AS t(i) WHERE nf > 0),
+dims AS (SELECT url, src,
+    {byte(0)} % 2 = 1 AS is_connector,
+    64 + {byte(1)} % 128 AS s,
+    floor((64 + {byte(1)} % 128) / 10)::int AS jitter,
+    160 + {byte(2)} % 121 AS ratio,
+    {byte(2)} AS b2, {byte(3)} % 2 = 1 AS flip, {byte(4)} % 5 = 0 AS small,
+    {byte(1)} AS b1
+  FROM (SELECT url, src, md5(url || ':fig:' || src) AS h FROM figs)),
+wh AS (SELECT url, src, is_connector,
+    CASE WHEN small THEN 8 + b1 % 40
+         WHEN is_connector THEN s
+         WHEN flip THEN floor(s * ratio / 100.0)::int
+         ELSE s END AS width,
+    CASE WHEN small THEN 8 + b2 % 40
+         WHEN is_connector THEN s + (b2 % (2 * jitter + 1)) - jitter
+         WHEN flip THEN s
+         ELSE floor(s * ratio / 100.0)::int END AS height
+  FROM dims)
+SELECT url, src, width, height, is_connector
+FROM wh WHERE least(width, height) > 50
+"""
+
+
+@_q("kbc_figures", _figures_sql())
+def kbc_figures(spark, sf):
+    """S8 figure pipeline (MentionFigures + HasFigures,
+    circular_connectors.py:82-100): synthetic figures over the documents
+    table, payloads built as REAL PNG headers, dimensions decoded back by
+    the pure-Python header tier, min-dim filtered — decoded values
+    hash-checked against the DuckDB arithmetic replay."""
+    from tecs_hardware_kbc_spark.operators.figures import (
+        figure_mentions, planted_dims, synthesize_media)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    nf = F.conv(F.substring(F.md5(F.concat(url, F.lit(":nf"))), 1, 2),
+                16, 10).cast("int") % 4
+    figs = (
+        d.select(url.alias("url"), nf.alias("_nf"))
+        .filter(F.col("_nf") > 0)
+        .select("url", F.explode(
+            F.sequence(F.lit(0), F.col("_nf") - 1)).alias("fig_id"))
+        .select("url", "fig_id",
+                F.concat(F.lit("fig"), F.col("fig_id"), F.lit(".png"))
+                .alias("src"),
+                F.lit("").alias("alt"))
+    )
+    kept = figure_mentions(figs, synthesize_media(figs))
+    _, _, is_conn = planted_dims(F.col("url"), F.col("src"))
+    return kept.select("url", "src", "width", "height",
+                       is_conn.alias("is_connector"))
+
+
 def _lf_votes_sql() -> str:
     """DuckDB replay of apply_lfs('stg_temp_max'): the 11-LF vote array +
     Laplace marginal over a synthetic candidate frame."""

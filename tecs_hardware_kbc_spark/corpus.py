@@ -31,6 +31,7 @@ variants).
 from __future__ import annotations
 
 import datetime as dt
+import hashlib
 import random
 from dataclasses import dataclass, field
 
@@ -296,6 +297,15 @@ def page_rows(i: int, n_pages: int, seed: int = 42,
                 if not (g[2].startswith("Z") or g[4] == "31415")]
 
     url = f"https://{domain}/{family[0].lower()}.html"
+    # 0-3 thumbnail figures per page, md5(url)-derived so the page rng's
+    # draw sequence (and with it every planted gold case) is untouched.
+    # Image tags contribute no text: the extract_text invariant holds.
+    # Dimensions/payloads/class bits live in operators/figures.py, derived
+    # from md5(url:fig:src) at media-synthesis time, not baked into html.
+    n_figs = hashlib.md5(f"{url}:nf".encode()).digest()[0] % 4
+    figs = "".join(f'<img src="fig{j}.png" alt="thumbnail {j}">'
+                   for j in range(n_figs))
+    html = html.replace("</body>", figs + "</body>", 1)
     ts = _BASE_TS + dt.timedelta(minutes=(i * 17) % 50000)
     html_b = html.encode("utf-8")
     text = extract_text(html_b)

@@ -50,6 +50,7 @@ class _StructParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[dict] = []
+        self.figures: list[dict] = []
         self._buf: list[str] = []
         self._tag_stack: list[str] = []
         self._block_tag: str | None = None
@@ -69,6 +70,17 @@ class _StructParser(HTMLParser):
             )
 
     def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "img":
+            # figure context node (fonduer's Figure; MentionFigures reads
+            # figure.url — circular_connectors.py:82-100). Void element:
+            # record it, keep it off the tag stack.
+            a = dict(attrs)
+            src = (a.get("src") or "").strip()
+            if src:
+                self.figures.append(
+                    {"fig_id": len(self.figures), "src": src,
+                     "alt": (a.get("alt") or "").strip()})
+            return
         self._tag_stack.append(tag)
         if tag == "table":
             self._table_id = self._n_tables
@@ -181,6 +193,45 @@ SENTENCE_SCHEMA = T.StructType(
         T.StructField("is_tabular", T.BooleanType(), False),
     ]
 )
+
+
+FIGURE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("fig_id", T.IntegerType(), False),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("alt", T.StringType(), True),
+    ]
+)
+
+
+def parse_html_figures(html: bytes | str) -> list[dict]:
+    """Figure context nodes of one page: ``<img>`` elements in document
+    order (fonduer's ``Figure`` table; the connectors task's mention space
+    is exactly these — circular_connectors.py:82-100)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    parser = _StructParser()
+    parser.feed(html)
+    parser.close()
+    return parser.figures
+
+
+def parse_figures(pages: DataFrame) -> DataFrame:
+    """(url, fig_id, src, alt) — one row per ``<img>`` per page. Same
+    Arrow-batched shape as the sentence parse; column-prunes to
+    (url, html)."""
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for f in parse_html_figures(html):
+                    rows.append((url, f["fig_id"], f["src"], f["alt"]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FIGURE_SCHEMA.fields])
+
+    return pages.select("url", "html").mapInPandas(
+        _parse, schema=FIGURE_SCHEMA)
 
 
 _PUNCT_RGX = r"^[.,;:!?()\[\]{}\"']+|[.,;:!?()\[\]{}\"']+$"

@@ -1,0 +1,89 @@
+"""Figure source + connectors pipeline (S8: MentionFigures/HasFigures +
+thumbnail classification, circular_connectors.py:82-151)."""
+
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.corpus import corpus_to_dataframes, generate_corpus
+from tecs_hardware_kbc_spark.operators.extract import (
+    extract_text,
+    parse_figures,
+    parse_html_figures,
+)
+from tecs_hardware_kbc_spark.operators.figures import (
+    MIN_THUMB_DIM,
+    connector_gold,
+    figure_mentions,
+    planted_dims,
+    score_connectors,
+    synthesize_media,
+)
+from tecs_hardware_kbc_spark.operators.multimodal import _parse_image_header
+
+
+def test_parse_html_figures_forms():
+    html = (b"<html><body><p>text</p>"
+            b'<img src="a.png" alt="first">'
+            b'<img src="b.png"/>'
+            b"<img alt='no src'>"
+            b'<table><tr><td><img src="c.png" alt="cell"></td></tr></table>'
+            b"</body></html>")
+    figs = parse_html_figures(html)
+    assert [(f["fig_id"], f["src"], f["alt"]) for f in figs] == [
+        (0, "a.png", "first"), (1, "b.png", ""), (2, "c.png", "cell")]
+    # image tags contribute no text: the extraction invariant is untouched
+    assert extract_text(html) == "text"
+
+
+def test_corpus_figures_and_invariant(spark):
+    pages, _, _ = corpus_to_dataframes(spark, generate_corpus(40, seed=42))
+    figs = parse_figures(pages)
+    assert figs.count() > 0
+    # every page's text column still equals extract_text(html)
+    bad = pages.filter(
+        F.col("lang") == "en").toPandas()
+    assert all(extract_text(h) == t for h, t in zip(bad["html"], bad["text"]))
+
+
+def test_planted_payload_decodes_via_header_tier(spark):
+    """The synthesized payload is a REAL PNG container: the pure-Python
+    header parser (not the md5 stub) must read back the planted dims."""
+    figs = spark.createDataFrame(
+        [("https://x.example/p.html", 0, "fig0.png", "")],
+        "url string, fig_id int, src string, alt string")
+    row = synthesize_media(figs).first()
+    parsed = _parse_image_header(bytes(row["payload"]))
+    assert parsed is not None
+    w, h = parsed
+    exp = figs.select(*[c.alias(n) for c, n in
+                        zip(planted_dims(F.col("url"), F.col("src")),
+                            ["w", "h", "conn"])]).first()
+    assert (w, h) == (exp["w"], exp["h"])
+
+
+def test_has_figures_filter(spark):
+    pages, _, _ = corpus_to_dataframes(spark, generate_corpus(60, seed=42))
+    figs = parse_figures(pages).dropDuplicates(["url", "fig_id", "src"])
+    kept = figure_mentions(figs, synthesize_media(figs))
+    rows = kept.collect()
+    assert rows and all(
+        min(r["width"], r["height"]) > MIN_THUMB_DIM for r in rows)
+    assert kept.count() < figs.count()  # the small plants were dropped
+
+
+def test_connectors_e2e_gate(spark):
+    """Full connectors run: dev-fit LR separates the planted classes on
+    the held-out test docs."""
+    pages, _, _ = corpus_to_dataframes(spark, generate_corpus(200, seed=42))
+    r = score_connectors(pages)
+    assert r["precision"] >= 0.9 and r["recall"] >= 0.9
+    # aspect must carry the signal (negative weight on |log aspect|)
+    assert r["model"]["w"][0] < 0
+
+
+def test_connector_gold_is_class_bit(spark):
+    pages, _, _ = corpus_to_dataframes(spark, generate_corpus(40, seed=42))
+    figs = parse_figures(pages).dropDuplicates(["url", "fig_id", "src"])
+    gold = connector_gold(figs)
+    _, _, is_conn = planted_dims(F.col("url"), F.col("src"))
+    assert gold.count() == figs.filter(is_conn).select(
+        "url", "src").distinct().count()
