@@ -113,6 +113,62 @@ def test_header_parse_real_dimensions():
     assert len(d["features"]) == 8  # stub features unless PIL is present
 
 
+def test_header_parse_jpeg_sof():
+    """JPEG: dimensions live in the first SOFn segment; the scanner must
+    skip APP0/DQT/COM segments (and tolerate a missing SOF)."""
+    import struct
+
+    from tecs_hardware_kbc_spark.operators.multimodal import (
+        _parse_image_header)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    app0 = seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+    dqt = seg(0xDB, b"\x00" + b"\x01" * 64)
+    com = seg(0xFE, b"a comment")
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03"
+               + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    jpeg = b"\xff\xd8" + app0 + dqt + com + sof0 + b"\xff\xd9"
+    assert _parse_image_header(jpeg) == (640, 480)  # (width, height)
+    # DHT (0xC4) must NOT be mistaken for a SOF marker
+    dht = seg(0xC4, b"\x00" + b"\x01" * 16)
+    jpeg2 = b"\xff\xd8" + app0 + dht + sof0 + b"\xff\xd9"
+    assert _parse_image_header(jpeg2) == (640, 480)
+    assert _parse_image_header(b"\xff\xd8" + app0 + b"\xff\xd9") is None
+
+
+def test_header_parse_png_gif_roundtrip_fuzz():
+    """Property: any (w, h) in range round-trips through the PNG and GIF
+    container builders and the header parser."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tecs_hardware_kbc_spark.operators.multimodal import (
+        _parse_image_header)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 2**31 - 1), st.integers(1, 2**31 - 1))
+    def png_case(w, h):
+        # header-only container (building full pixel rows for 2^31-wide
+        # images would be absurd; the parser only reads sig + IHDR)
+        hdr = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+               + struct.pack(">II", w, h) + b"\x08\x00\x00\x00\x00")
+        assert _parse_image_header(hdr) == (w, h)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 2**16 - 1), st.integers(1, 2**16 - 1))
+    def gif_case(w, h):
+        payload = b"GIF87a" + struct.pack("<HH", w, h) + b"\x00" * 3
+        assert _parse_image_header(payload) == (w, h)
+
+    png_case()
+    gif_case()
+
+
 def test_pil_decode_branch():
     """Exercises the full-PIL tier when the library is installed."""
     pytest.importorskip("PIL")
