@@ -407,10 +407,15 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
                          gazetteer_path: str, out_dir: str,
                          gold_path: str | None = None,
                          relations: list[str] | None = None,
-                         resume: bool = True) -> KBCResult:
+                         resume: bool = True,
+                         visual_path: str | None = None) -> KBCResult:
     """Checkpointed variant: each stage is a resumable parquet table with
     lineage + metrics (plans/lineage.py). Used by bench.py and spark-submit
-    cluster runs."""
+    cluster runs.
+
+    ``visual_path``: optional parquet sidecar of per-sentence bboxes
+    (url, position, v_top/v_left/v_bottom/v_right) — same semantics as
+    ``run_kbc(visual_coords=...)``."""
     from tecs_hardware_kbc_spark.plans.lineage import StageRunner
 
     runner = StageRunner(spark, out_dir, resume=resume)
@@ -419,6 +424,8 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
     pages = spark.read.parquet(pages_path)
     gazetteer = spark.read.parquet(gazetteer_path)
     gold = spark.read.parquet(gold_path) if gold_path else None
+    visual_coords = (spark.read.parquet(visual_path)
+                     if visual_path else None)
 
     sentences = runner.run(
         "sentences",
@@ -489,7 +496,8 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
         scored = runner.run(
             f"scored_{rel}",
             lambda rel=rel: apply_lfs(
-                with_context(relation_candidates(rel, mentions, ctx),
+                with_context(relation_candidates(rel, mentions, ctx,
+                                                 visual=visual_coords),
                              sent_ctx, ctx["row"], ctx["col"],
                              needs=RELATION_NEEDS[rel], extra=extra), rel),
             inputs=[f"mentions_{mention_key.get(rel, rel)}", "mentions_part"],

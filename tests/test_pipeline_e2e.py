@@ -113,6 +113,31 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     assert sum(lin["partition_rows"].values()) == lin["rows"]
 
 
+def test_checkpointed_visual_sidecar(spark, tmp_path_factory):
+    """run_kbc_checkpointed accepts a parquet bbox sidecar (visual_path)
+    and the run stays healthy — parity with run_kbc(visual_coords=...)."""
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    from tecs_hardware_kbc_spark.operators.visual import (
+        synthetic_visual_coords)
+    from tecs_hardware_kbc_spark.pipeline import ingest
+
+    base = str(tmp_path_factory.mktemp("kbcviz"))
+    # 40 pages: at 12 the dev slice is ~6 docs and the per-relation
+    # threshold tuning is too unstable to assert precision on
+    write_corpus(spark, f"{base}/corpus", n_pages=40, seed=5)
+    pages = spark.read.parquet(f"{base}/corpus/pages.parquet")
+    synthetic_visual_coords(parse_pages(ingest(pages))) \
+        .write.parquet(f"{base}/viz")
+    r = run_kbc_checkpointed(
+        spark, f"{base}/corpus/pages.parquet",
+        f"{base}/corpus/gazetteer.parquet", f"{base}/out",
+        gold_path=f"{base}/corpus/gold.parquet",
+        visual_path=f"{base}/viz")
+    assert r.triples.count() > 0
+    for rel, s in r.scores.items():
+        assert s["test"]["precision"] >= 0.9 or s["test"]["tp"] == 0
+
+
 def test_multitask_supervision_clears_gate(spark, tiny_tables):
     """The full reference flow — featurize -> shared-trunk multi-task LR on
     the weak labels -> model marginals — still clears the quality gate."""
