@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "sim_topk",
+    "kbc_lingual_tags",
+    "kbc_figures",
 ]
 
 
