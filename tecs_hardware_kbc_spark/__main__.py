@@ -42,6 +42,15 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--relations", default=None,
                    help="comma-separated subset of relations")
     r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--visual", default=None,
+                   help="optional bbox sidecar parquet "
+                        "(url, position, v_top/v_left/v_bottom/v_right)")
+
+    c = sub.add_parser(
+        "connectors",
+        help="figure scan -> HasFigures decode filter -> thumbnail "
+             "classifier P/R (reference circular_connectors.py)")
+    c.add_argument("--pages", required=True)
 
     s = sub.add_parser("ingest", help="stream-ingest new page files")
     s.add_argument("--in", dest="input", required=True)
@@ -90,13 +99,20 @@ def main(argv: list[str] | None = None) -> int:
         result = run_kbc_checkpointed(
             spark, args.pages, args.gazetteer, args.out,
             gold_path=args.gold, relations=rels,
-            resume=not args.no_resume,
+            resume=not args.no_resume, visual_path=args.visual,
         )
         print(json.dumps({
             "triples": result.triples.count(),
             "scores": result.scores,
             "thresholds": result.thresholds,
         }))
+        return 0
+
+    if args.cmd == "connectors":
+        from tecs_hardware_kbc_spark.operators.figures import (
+            score_connectors)
+        r = score_connectors(spark.read.parquet(args.pages))
+        print(json.dumps(r))
         return 0
 
     if args.cmd == "ingest":

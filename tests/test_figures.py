@@ -80,6 +80,19 @@ def test_connectors_e2e_gate(spark):
     assert r["model"]["w"][0] < 0
 
 
+def test_connectors_cli(spark, tmp_path, capsys):
+    import json
+
+    from tecs_hardware_kbc_spark.__main__ import main
+    from tecs_hardware_kbc_spark.corpus import write_corpus
+
+    write_corpus(spark, str(tmp_path / "c"), n_pages=60, seed=42)
+    rc = main(["connectors", "--pages", str(tmp_path / "c/pages.parquet")])
+    assert rc == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["precision"] >= 0.9 and r["recall"] >= 0.9
+
+
 def test_connector_gold_is_class_bit(spark):
     pages, _, _ = corpus_to_dataframes(spark, generate_corpus(40, seed=42))
     figs = parse_figures(pages).dropDuplicates(["url", "fig_id", "src"])
