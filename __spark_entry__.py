@@ -679,8 +679,12 @@ def kbc_sentences(spark, sf):
     pages, _, _ = _synthetic_corpus(spark)
     s = parse_pages(pages).drop("grams")
     # the driver canonicalizer sorts column values in pandas — array columns
-    # are unhashable there, so ship words as a joined string
-    s = s.withColumn("words", F.array_join("words", " "))
+    # are unhashable there, so ship arrays as joined strings
+    s = s.withColumn("words", F.array_join("words", " ")) \
+         .withColumn("char_offsets",
+                     F.array_join(F.transform("char_offsets",
+                                              lambda x: x.cast("string")),
+                                  " "))
     return s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
 
 

@@ -154,11 +154,23 @@ def parse_html(html: bytes | str) -> list[dict]:
             text = text.strip()
             if not text:
                 continue
+            words = tokenize(text)
+            # linear cumulative char offsets (word i starts at
+            # sum(len(w_j) + 1, j < i) under whitespace normalization).
+            # Carried in the schema so grams_col never needs its O(n^2)
+            # array-aggregate fallback on real sentences — a garbage page
+            # with one unpunctuated 10k-token "sentence" would otherwise
+            # cost ~10^8 array copies in the HOF.
+            offs, acc = [], 0
+            for w in words:
+                offs.append(acc)
+                acc += len(w) + 1
             sentences.append(
                 {
                     "position": position,
                     "text": text,
-                    "words": tokenize(text),
+                    "words": words,
+                    "char_offsets": offs,
                     "tag": blk["tag"],
                     "table_id": blk["table_id"],
                     "row": blk["row"],
@@ -185,6 +197,7 @@ SENTENCE_SCHEMA = T.StructType(
         T.StructField("position", T.IntegerType(), False),
         T.StructField("text", T.StringType(), False),
         T.StructField("words", T.ArrayType(T.StringType()), False),
+        T.StructField("char_offsets", T.ArrayType(T.IntegerType()), False),
         T.StructField("tag", T.StringType(), True),
         T.StructField("table_id", T.IntegerType(), True),
         T.StructField("row", T.IntegerType(), True),
@@ -237,7 +250,7 @@ def parse_figures(pages: DataFrame) -> DataFrame:
 _PUNCT_RGX = r"^[.,;:!?()\[\]{}\"']+|[.,;:!?()\[\]{}\"']+$"
 
 
-def grams_col(words=None):
+def grams_col(words=None, offsets=None):
     """The sentence's mention n-gram space as a pure JVM column expression
     (array<struct<span, wi, n, char_start, char_end>>).
 
@@ -249,10 +262,14 @@ def grams_col(words=None):
     whole-stage codegen — no Python, no extra Arrow payload.
 
     Char offsets rely on the extractor's whitespace normalization: word i
-    starts at sum(len(w_j) + 1 for j < i).
+    starts at sum(len(w_j) + 1 for j < i). Pass the parse's precomputed
+    ``char_offsets`` column as ``offsets`` — the in-expression fallback
+    builds the prefix sums by array concatenation, which is O(n^2) per
+    sentence and pathological for unpunctuated garbage pages; the parse
+    computes the same array in linear time.
     """
     words = words if words is not None else F.col("words")
-    offs = F.aggregate(
+    offs = offsets if offsets is not None else F.aggregate(
         words, F.array(F.lit(0)),
         lambda acc, w: F.concat(acc, F.array(F.element_at(acc, -1)
                                              + F.length(w) + 1)),

@@ -81,12 +81,15 @@ def gram_space(sentences: DataFrame, materialize: bool = False) -> DataFrame:
     returned (exploded) frame again — that would re-inflate it."""
     from tecs_hardware_kbc_spark.operators.extract import grams_col
 
+    offsets = (F.col("char_offsets")
+               if "char_offsets" in sentences.columns else None)
+    gc = grams_col(offsets=offsets)
     if materialize:
-        arr = sentences.select(*_CTX_COLS, grams_col().alias("_grams")) \
+        arr = sentences.select(*_CTX_COLS, gc.alias("_grams")) \
                        .localCheckpoint()
         g = arr.select(*_CTX_COLS, F.explode("_grams").alias("g"))
     else:
-        g = sentences.select(*_CTX_COLS, F.explode(grams_col()).alias("g"))
+        g = sentences.select(*_CTX_COLS, F.explode(gc).alias("g"))
     return g.select(
         *_CTX_COLS,
         F.col("g.span").alias("raw_span"),

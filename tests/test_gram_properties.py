@@ -102,3 +102,31 @@ def test_parser_total_on_malformed_structure(parts):
         assert r["text"].strip() == r["text"] and r["text"]
         if r["is_tabular"]:
             assert r["table_id"] is not None
+
+
+def test_grams_precomputed_offsets_equivalent(spark):
+    """grams_col(offsets=<parse-computed>) must emit the identical gram
+    set as the O(n^2) in-expression aggregate fallback, and the parse's
+    char_offsets column must equal the prefix sums of word lengths."""
+    import pyspark.sql.functions as F
+
+    from tecs_hardware_kbc_spark.operators.extract import (
+        grams_col, parse_html)
+
+    html = ("<html><body><p>BC546 thru BC548 storage temp -55 to +150.</p>"
+            "<table><tr><td>V(BR)CEO min 45 V</td></tr></table>"
+            "</body></html>")
+    for s in parse_html(html):
+        acc, offs = 0, []
+        for w in s["words"]:
+            offs.append(acc)
+            acc += len(w) + 1
+        assert s["char_offsets"] == offs
+
+    df = spark.createDataFrame(
+        [(s["words"], s["char_offsets"]) for s in parse_html(html)],
+        "words: array<string>, char_offsets: array<int>")
+    a = df.select(F.explode(grams_col()).alias("g")).collect()
+    b = df.select(F.explode(
+        grams_col(offsets=F.col("char_offsets"))).alias("g")).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b)) and len(a) > 10
