@@ -1010,6 +1010,57 @@ def kbc_figures(spark, sf):
                        is_conn.alias("is_connector"))
 
 
+def _augment_sql() -> str:
+    """DuckDB replay of a composed augmentation policy (augment.py):
+    flip_horizontal -> cutout(1,1,2) -> normalize(0.5, 0.25) over 6x4
+    md5-derived grayscale images. Pixels are b/256.0 (exact binary
+    fractions) so every value is bit-identical across engines with no
+    rounding convention in play."""
+    return """
+WITH d AS (SELECT doc_id, 'doc://' || doc_id AS url
+           FROM documents WHERE doc_id < 60),
+px AS (SELECT doc_id, i,
+    (('0x' || substr(md5(url || ':px:' || (i // 16)),
+                     (i % 16) * 2 + 1, 2))::int) / 256.0 AS v
+  FROM d, unnest(generate_series(0, 23)) AS t(i)),
+flip AS (SELECT a.doc_id, a.i, b.v
+  FROM (SELECT doc_id, i, (i // 6) * 6 + (5 - i % 6) AS src FROM px) a
+  JOIN px b ON b.doc_id = a.doc_id AND b.i = a.src)
+SELECT doc_id, i,
+  ((CASE WHEN i // 6 BETWEEN 1 AND 2 AND i % 6 BETWEEN 1 AND 2
+         THEN 0.0 ELSE v END) - 0.5) / 0.25 AS value
+FROM flip
+"""
+
+
+@_q("media_augment", _augment_sql())
+def media_augment(spark, sf):
+    """Image-augmentation policy (the connectors task's augment_policy.py /
+    transforms/ analog): flip -> cutout -> normalize composed as ONE JVM
+    projection over md5-derived grayscale pixel arrays, every output pixel
+    hash-checked vs the DuckDB index-math replay."""
+    from tecs_hardware_kbc_spark.operators.augment import (
+        cutout, flip_horizontal, normalize)
+    W, H = F.lit(6), F.lit(4)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(url, F.lit(":px:"),
+                               F.floor(i / 16).cast("int").cast("string"))),
+                ((i % 16) * 2 + 1).cast("int"), F.lit(2)),
+            16, 10).cast("double") / 256.0)
+    out = normalize(
+        cutout(flip_horizontal(pix, W, H), W, H,
+               F.lit(1), F.lit(1), F.lit(2)),
+        0.5, 0.25)
+    return (
+        d.select("doc_id", F.posexplode(out).alias("i", "value"))
+    )
+
+
 def _lf_votes_sql() -> str:
     """DuckDB replay of apply_lfs('stg_temp_max'): the 11-LF vote array +
     Laplace marginal over a synthetic candidate frame."""
