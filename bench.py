@@ -381,9 +381,26 @@ Full JSON:
 """)
 
 
+def run_docs_sweep(cpus: int, sizes: list[int] | None = None) -> dict:
+    """Runtime vs corpus size at fixed parallelism — the analog of the
+    reference's scaling_docs.sh (max_docs sweep). Linear growth here is
+    the evidence that no operator in the datapath is superlinear in the
+    document count."""
+    sizes = sizes or [8000, 16000, 32000, 64000, 96000]
+    rows = []
+    for n in sizes:
+        r = run_datapath(cpus, n, repeats=3)
+        r["sec_per_kpage"] = round(r["sec"] / (r["pages"] / 1000), 3)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    return {"metric": "docs_sweep", "cpus": cpus, "rows": rows}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--docs-sweep" in sys.argv:
+        print(json.dumps(run_docs_sweep(CPUS)))
     elif "--stages" in sys.argv:
         n = (int(N_PAGES_ENV) if N_PAGES_ENV
              else PAGES_BY_SF.get(_sf_label(), 8000))
