@@ -98,6 +98,13 @@ class _StructParser(HTMLParser):
             self._buf = []
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "img":
+            # void element, never on the stack (see handle_starttag) — an
+            # XHTML-style <img/> routes through handle_startendtag, whose
+            # default impl calls handle_endtag; draining the stack in search
+            # of the unmatched 'img' would discard open ancestors that the
+            # _SKIP_TAGS check still needs.
+            return
         while self._tag_stack and self._tag_stack[-1] != tag:
             self._tag_stack.pop()
         if self._tag_stack:

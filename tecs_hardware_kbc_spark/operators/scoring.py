@@ -128,10 +128,15 @@ def tune_and_score(entities: DataFrame, gold: DataFrame,
         grid=grid, gold_total=dev_total))
     f1 = dev_best["f1"]
     b = float(dev_best["b"]) if f1 == f1 else default_threshold
+    # Snap b to the nearest grid value so the fallback threshold (which may
+    # sit exactly midway between grid points) selects exactly one row; order
+    # by distance so any residual tie resolves deterministically.
+    b = round(b * (grid - 1)) / (grid - 1)
     test_rows = (
         threshold_sweep(entities.filter(~dev_mask), gold.filter(~dev_mask),
                         grid=grid, gold_total=test_total)
-        .filter(F.abs(F.col("b") - b) < 0.5 / (grid - 1))
+        .orderBy(F.abs(F.col("b") - b).asc(), F.col("b").asc())
+        .limit(1)
         .collect()
     )
     test = ({k: test_rows[0][k] for k in keys} if test_rows

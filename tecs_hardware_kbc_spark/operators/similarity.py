@@ -97,13 +97,20 @@ def nearest_cells(vec, centers, n: int):
     euclidean argmin but one fused dot product per centroid — and exactly
     replayable in DuckDB as ``list_inner_product(v, c) - |c|²/2``. Ties
     break toward the lower cell index in both engines."""
+    # Fold starts at 0.0 and the -|c|²/2 constant is subtracted AFTER the
+    # sum (finish lambda) so the FP summation order matches the DuckDB
+    # oracle's `list_inner_product(v, c) - |c|²/2` exactly — seeding the
+    # accumulator with the constant can flip a near-tie cell assignment.
     scores = F.array(*[
         F.aggregate(
             F.zip_with(vec,
                        F.array(*[F.lit(float(x)) for x in centers[c]]),
                        lambda a, b: a * b),
-            F.lit(-0.5 * sum(float(x) * float(x) for x in centers[c])),
-            lambda acc, v: acc + v).alias(f"_s{c}")
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+            lambda acc: acc - F.lit(
+                0.5 * sum(float(x) * float(x) for x in centers[c])),
+        ).alias(f"_s{c}")
         for c in range(len(centers))
     ])
     idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))

@@ -45,9 +45,12 @@ STATE_SCHEMA = T.StructType([
     T.StructField("n_crawls", T.LongType(), False),
 ])
 
-# Module-level so the serialized closure carries it; 0 = no timeout (tests
-# that restart the query within one TTL window use the default).
-DEFAULT_STATE_TTL_MINUTES = 7 * 24 * 60
+# Default is NoTimeout: with ProcessingTimeTimeout registered the engine's
+# shouldRunAnotherBatch stays true, so availableNow/once backfills never
+# terminate (see module docstring). Continuous-stream callers opt INTO the
+# TTL explicitly, e.g. state_ttl_minutes=SUGGESTED_STATE_TTL_MINUTES.
+DEFAULT_STATE_TTL_MINUTES = 0
+SUGGESTED_STATE_TTL_MINUTES = 7 * 24 * 60
 
 
 def _make_update(ttl_minutes: int):
@@ -100,9 +103,11 @@ def streaming_latest_crawl(pages_stream: DataFrame,
     timestamp (null on first sight); ``n_crawls`` counts every crawl row
     ever seen for the url, including stale replays that emit nothing.
 
-    ``state_ttl_minutes`` bounds per-url state: urls with no activity for
-    the TTL are evicted via processing-time timeout (pass 0 to disable,
-    e.g. in tests that pause the stream longer than the TTL)."""
+    ``state_ttl_minutes`` bounds per-url state on continuously-running
+    streams: urls with no activity for the TTL are evicted via
+    processing-time timeout. Default 0 (NoTimeout) because a registered
+    timeout makes bounded availableNow/once drains loop forever; pass
+    ``SUGGESTED_STATE_TTL_MINUTES`` (7 days) on a real continuous stream."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout

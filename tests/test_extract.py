@@ -39,6 +39,18 @@ def test_structure():
     assert not h1["is_tabular"] and h1["page"] == 1
 
 
+def test_xhtml_img_keeps_skip_ancestors():
+    # <img/> routes through handle_startendtag → handle_endtag; the void
+    # element must not drain open ancestors, or text after the img inside a
+    # script/style subtree would leak into the extraction.
+    html = (b"<html><body><p>before.</p>"
+            b"<script>junk <img src='x.png'/> leaked();</script>"
+            b"<p>after.</p></body></html>")
+    texts = [s["text"] for s in parse_html(html)]
+    assert "leaked();" not in " ".join(texts)
+    assert "before." in texts and "after." in texts
+
+
 def _grams_of(spark, text):
     from tecs_hardware_kbc_spark.functions.text import tokenize
     from tecs_hardware_kbc_spark.operators.extract import grams_col
