@@ -666,11 +666,45 @@ def _synthetic_corpus(spark, n_pages: int = 60):
     return corpus_to_dataframes(spark, generate_corpus(n_pages, seed=42))
 
 
+# Golden content digests for the rows-only pipeline entries. The pipeline
+# is deterministic by construction (SURVEY §1.3: fixed corpus seed, fixed
+# LF set, order-independent aggregations), so the composed output values
+# are pinned here and self-verified on every run: a row-count-preserving
+# regression (threshold drift, widening change, canonicalization bug) now
+# fails loudly instead of slipping past the driver's rows-only check.
+# Recompute ONLY after an intentional semantic change, via
+# `python -c "import __spark_entry__ as E; E.print_golden_digests()"`.
+_GOLDEN_DIGESTS = {
+    "kbc_triples": (356, 3021505895541361716),
+    "kbc_sentences": (2107, -7503261219992482400),
+}
+
+
+def _check_golden(name: str, df, cols) -> None:
+    """XOR-fold of xxhash64 over the named columns vs the committed golden
+    value (xor is order-independent and overflow-free under ANSI mode)."""
+    row = df.select(F.bit_xor(F.xxhash64(*cols)).alias("d"),
+                    F.count("*").alias("n")).collect()[0]
+    got = (int(row["n"]), int(row["d"]) if row["d"] is not None else 0)
+    want = _GOLDEN_DIGESTS[name]
+    if got != want:
+        raise AssertionError(
+            f"{name}: golden content digest drifted — got (rows, xor64) = "
+            f"{got}, committed {want}. If the change is intentional, "
+            f"recompute via print_golden_digests().")
+
+
+def _triple_digest_cols():
+    return ["subj", "pred", "obj", F.round(F.col("prob"), 6)]
+
+
 @_q("kbc_triples")
 def kbc_triples(spark, sf):
     from tecs_hardware_kbc_spark.pipeline import run_kbc
     pages, gold, gaz = _synthetic_corpus(spark)
-    return run_kbc(spark, pages, gaz, gold).triples
+    triples = run_kbc(spark, pages, gaz, gold).triples
+    _check_golden("kbc_triples", triples, _triple_digest_cols())
+    return triples
 
 
 @_q("kbc_sentences")
@@ -685,7 +719,35 @@ def kbc_sentences(spark, sf):
                      F.array_join(F.transform("char_offsets",
                                               lambda x: x.cast("string")),
                                   " "))
-    return s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
+    s = s.fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
+    _check_golden("kbc_sentences", s, sorted(s.columns))
+    return s
+
+
+def print_golden_digests() -> None:
+    """Recompute and print the _GOLDEN_DIGESTS values (run after an
+    intentional semantic change to the pipeline or parse)."""
+    from tecs_hardware_kbc_spark.session import get_spark
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    from tecs_hardware_kbc_spark.pipeline import run_kbc
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    pages, gold, gaz = _synthetic_corpus(spark)
+    s = parse_pages(pages).drop("grams")
+    s = s.withColumn("words", F.array_join("words", " ")) \
+         .withColumn("char_offsets",
+                     F.array_join(F.transform("char_offsets",
+                                              lambda x: x.cast("string")),
+                                  " ")) \
+         .fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
+    for name, df, cols in [
+        ("kbc_triples", run_kbc(spark, pages, gaz, gold).triples,
+         _triple_digest_cols()),
+        ("kbc_sentences", s, sorted(s.columns)),
+    ]:
+        row = df.select(F.bit_xor(F.xxhash64(*cols)).alias("d"),
+                        F.count("*").alias("n")).collect()[0]
+        print(f'    "{name}": ({row["n"]}, {row["d"]}),')
 
 
 # --------------------------------------------------------------------------
