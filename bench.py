@@ -143,16 +143,17 @@ def run_datapath(cpus: int, pages: int, repeats: int = 5) -> dict:
 
     def datapath() -> int:
         sentences = parse_pages(ingest(pg))
-        # materialize=True: HOF evaluated once into the compact array-form
-        # checkpoint (the production shape, pipeline.py) — 1.75x faster at
-        # 64k pages than leaving every consumer to re-derive the HOF
-        grams = M.gram_space(sentences, materialize=True)
+        # the HOF is evaluated once into the compact array-form checkpoint
+        # (the production shape, pipeline.py) — 1.75x faster at 64k pages
+        # than leaving every consumer to re-derive the HOF
+        compact = M.gram_space_compact(sentences)
+        grams = M.explode_gram_arrays(compact)
         row = X.build_row_ngrams(grams)
         col = X.build_col_ngrams(grams)
         parts = M.part_mentions(grams, gaz)
         temps = M.temp_mentions(grams, "min")
         cands = C2.stg_temp_candidates(parts, temps)
-        sc = build_sentence_context(sentences, grams)
+        sc = build_sentence_context(sentences, grams, compact=compact)
         scored = apply_lfs(
             with_context(cands, sc, row, col,
                          needs=RELATION_NEEDS["stg_temp_min"]),
@@ -212,17 +213,18 @@ def run_stage_profile(cpus: int, pages: int, repeats: int = 3) -> dict:
             return df
 
         sentences = stage("parse", lambda: parse_pages(ingest(pg)))
-        # gram_space materializes its own compact array-form checkpoint;
+        # gram_space_compact checkpoints the compact array form itself;
         # re-checkpointing the exploded rows would re-inflate it 25x
-        grams = stage("grams",
-                      lambda: M.gram_space(sentences, materialize=True),
-                      ckpt=False)
+        compact = stage("grams", lambda: M.gram_space_compact(sentences),
+                        ckpt=False)
+        grams = M.explode_gram_arrays(compact)
         row = stage("row_ngrams", lambda: X.build_row_ngrams(grams))
         col = stage("col_ngrams", lambda: X.build_col_ngrams(grams))
         parts = stage("part_mentions", lambda: M.part_mentions(grams, gaz))
         temps = stage("temp_mentions", lambda: M.temp_mentions(grams, "min"))
         sc = stage("sentence_ctx",
-                   lambda: build_sentence_context(sentences, grams))
+                   lambda: build_sentence_context(sentences, grams,
+                                                  compact=compact))
         cands = stage("candidates",
                       lambda: C2.stg_temp_candidates(parts, temps))
         stage("lf_entities", lambda: to_entities(
@@ -396,9 +398,58 @@ def run_docs_sweep(cpus: int, sizes: list[int] | None = None) -> dict:
     return {"metric": "docs_sweep", "cpus": cpus, "rows": rows}
 
 
+def run_rels_sweep(cpus: int, pages: int = 8000,
+                   repeats: int = 3) -> dict:
+    """Runtime vs RELATION COUNT at fixed docs — the analog of the
+    reference's scaling_rels.sh (1..4 relations over the same 1000-doc
+    corpus). The pipeline computes parse/grams/context once and shares
+    them across relations, so the marginal cost of each added relation
+    should be SUB-linear — this sweep is the measurement of that claim.
+    Prints one JSON row per relation-set."""
+    import time as _t
+
+    from tecs_hardware_kbc_spark.corpus import distributed_corpus
+    from tecs_hardware_kbc_spark.pipeline import run_kbc
+    from tecs_hardware_kbc_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pg, gold, gaz = distributed_corpus(spark, pages, seed=42)
+    pg.count()
+    _ramp_cpu()
+
+    # the reference's accumulation order (scaling_rels.sh:8-31)
+    sets = [
+        ["stg_temp_min"],
+        ["stg_temp_min", "stg_temp_max"],
+        ["stg_temp_min", "stg_temp_max", "polarity"],
+        ["stg_temp_min", "stg_temp_max", "polarity", "ce_v_max"],
+    ]
+    rows = []
+    prev = None
+    for rels in sets:
+        best = None
+        for _ in range(repeats):
+            t0 = _t.monotonic()
+            res = run_kbc(spark, pg, gaz, gold, relations=rels)
+            res.triples.count()
+            d = _t.monotonic() - t0
+            best = d if best is None else min(best, d)
+        row = {"n_relations": len(rels), "relations": rels,
+               "sec": round(best, 3),
+               "marginal_sec": round(best - prev, 3) if prev else None}
+        prev = best
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return {"metric": "rels_sweep", "cpus": cpus, "pages": pages,
+            "rows": rows}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--rels-sweep" in sys.argv:
+        print(json.dumps(run_rels_sweep(CPUS)))
     elif "--docs-sweep" in sys.argv:
         print(json.dumps(run_docs_sweep(CPUS)))
     elif "--stages" in sys.argv:

@@ -132,7 +132,9 @@ def parse_html(html: bytes | str) -> list[dict]:
     Prose blocks are split into sentences on terminal punctuation; each table
     cell is one sentence carrying (table_id, table position == table_id, row,
     col). ``position`` is the reading-order sentence ordinal; ``page`` is the
-    synthetic pagination of the *block* the sentence came from.
+    synthetic pagination of the *block* the sentence came from, except that
+    a table's cells all share the table's first page (tables don't straddle
+    page breaks in a rendered layout).
     """
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
@@ -144,19 +146,30 @@ def parse_html(html: bytes | str) -> list[dict]:
     position = 0
     block_ordinal = 0
     last_row_key: tuple | None = None
+    table_pages: dict[int, int] = {}
     for blk in parser.blocks:
         if blk["table_id"] is not None:
-            # one block per table row (cells share the row's page)
+            # one block per table row; the WHOLE table shares the page of
+            # its first row — a rendered table never straddles the page
+            # break, and the visual predicates (same-page preconditions in
+            # visual.horz/vert_aligned_viz) must agree with the layout the
+            # bbox sidecar mirrors (a row-5 cell on "page 2" while its
+            # column header sits on "page 1" made every cross-page gold
+            # pair silently viz-unaligned)
             row_key = (blk["table_id"], blk["row"])
             if row_key != last_row_key:
                 block_ordinal += 1
                 last_row_key = row_key
+            if blk["table_id"] not in table_pages:
+                table_pages[blk["table_id"]] = (
+                    1 + (block_ordinal - 1) // BLOCKS_PER_PAGE)
+            page = table_pages[blk["table_id"]]
             texts = [blk["text"]]
         else:
             block_ordinal += 1
             last_row_key = None
             texts = _SENT_SPLIT_RE.split(blk["text"])
-        page = 1 + (block_ordinal - 1) // BLOCKS_PER_PAGE
+            page = 1 + (block_ordinal - 1) // BLOCKS_PER_PAGE
         for text in texts:
             text = text.strip()
             if not text:
@@ -257,9 +270,18 @@ def parse_figures(pages: DataFrame) -> DataFrame:
 _PUNCT_RGX = r"^[.,;:!?()\[\]{}\"']+|[.,;:!?()\[\]{}\"']+$"
 
 
-def grams_col(words=None, offsets=None):
+def grams_col(words=None, offsets=None, lean=False):
     """The sentence's mention n-gram space as a pure JVM column expression
     (array<struct<span, wi, n, char_start, char_end>>).
+
+    ``lean=True`` stores NULL instead of the span text for word n-grams
+    (n >= 1) — their span is exactly ``array_join(slice(words, wi+1, n),
+    " ")`` and can be reconstructed at explode time for ~nothing, while
+    NOT allocating one string per gram here cuts the HOF + cache cost of
+    the materialized gram table ~2.6x at 32 cores (the per-gram span
+    strings were the memory-bandwidth/GC bottleneck of the whole
+    datapath). Derived sub-token/stripped grams (n == 0) always carry
+    their span — those are substrings not recoverable by slicing.
 
     Mirrors fonduer's ``MentionNgrams(n_max=3, split_tokens=["-", "/"])``
     (``transistors.py:205-241``): all word 1..3-grams with char offsets,
@@ -289,10 +311,16 @@ def grams_col(words=None, offsets=None):
                         ce.cast("int").alias("char_end"))
 
     idx = F.sequence(F.lit(0), F.size(words) - 1)
+
+    def word_span(i, n):
+        if lean:
+            return F.lit(None).cast("string")
+        return F.array_join(F.slice(words, i + 1, n), " ")
+
     word_grams = F.flatten(F.transform(idx, lambda i: F.transform(
         F.sequence(F.lit(1), F.least(F.lit(NGRAM_MAX), F.size(words) - i)),
         lambda n: gram(
-            F.array_join(F.slice(words, i + 1, n), " "), i, n,
+            word_span(i, n), i, n,
             F.element_at(offs, (i + 1).cast("int")),
             F.element_at(offs, (i + n).cast("int"))
             + F.length(F.element_at(words, (i + n).cast("int"))) - 1,

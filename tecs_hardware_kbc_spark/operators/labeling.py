@@ -73,28 +73,43 @@ _EXTRA_JOINS: dict[str, tuple[str, str, str, list[tuple[str, str]]]] = {
 
 
 def build_sentence_context(sentences: DataFrame,
-                           grams: DataFrame) -> DataFrame:
+                           grams: DataFrame,
+                           compact: DataFrame | None = None) -> DataFrame:
     """(url, position, words, sent grams, neighbor-sentence grams) — built
-    once per corpus from the already-materialized gram table (re-evaluating
-    the gram HOF would dominate) and shared by every relation that probes
-    sentence-level context. One groupBy + one window shuffle total."""
+    once per corpus and shared by every relation that probes sentence-level
+    context. Every consumer reads the gram lists by MEMBERSHIP (overlaps /
+    array_contains), so their order is free.
+
+    With ``compact`` (a ``gram_space_compact`` table) the per-sentence gram
+    list is a ``transform`` over the cached gram arrays — ONE window
+    shuffle total, no groupBy of the 25x-larger exploded rows and no join
+    back to the sentences. Without it, falls back to collect_list over the
+    exploded ``grams`` (one groupBy + one join + one window)."""
     from pyspark.sql.window import Window
 
-    per_sent = grams.groupBy("url", "position").agg(
-        F.collect_list("raw_span").alias("_sent_grams"))
     w = Window.partitionBy("url").orderBy("position")
-    return (
-        sentences.select("url", "position", F.col("words").alias("_words"))
-        .join(per_sent, ["url", "position"], "left")
-        .withColumn("_sent_grams",
-                    F.coalesce("_sent_grams", F.array()))
-        .withColumn(
-            "_neighbor_grams",
-            F.concat(
-                F.coalesce(F.lag("_sent_grams", 1).over(w), F.array()),
-                F.coalesce(F.lead("_sent_grams", 1).over(w), F.array()),
-            ),
+    if compact is not None:
+        from tecs_hardware_kbc_spark.operators.mentions import gram_span
+        base = compact.select(
+            "url", "position", F.col("words").alias("_words"),
+            F.transform(
+                "_grams",
+                lambda g: gram_span(g, F.col("words"))).alias("_sent_grams"))
+    else:
+        per_sent = grams.groupBy("url", "position").agg(
+            F.collect_list("raw_span").alias("_sent_grams"))
+        base = (
+            sentences.select("url", "position",
+                             F.col("words").alias("_words"))
+            .join(per_sent, ["url", "position"], "left")
+            .withColumn("_sent_grams", F.coalesce("_sent_grams", F.array()))
         )
+    return base.withColumn(
+        "_neighbor_grams",
+        F.concat(
+            F.coalesce(F.lag("_sent_grams", 1).over(w), F.array()),
+            F.coalesce(F.lead("_sent_grams", 1).over(w), F.array()),
+        ),
     )
 
 

@@ -68,28 +68,90 @@ MENTION_COLS = ["url", "position", "mention_type", "span", "raw_span",
                 "row", "col", "tag", "page", "is_tabular"]
 
 
+def gram_space_compact(sentences: DataFrame,
+                       lean: bool = False) -> DataFrame:
+    """The COMPACT one-row-per-sentence gram table: context columns + the
+    sentence's ``words`` + an array of gram structs, HOF evaluated once and
+    localCheckpointed. The context columns are stored once per sentence
+    instead of once per gram (~25x less cached row volume); consumers
+    re-run only the cheap explode (``explode_gram_arrays``) or read the
+    arrays directly (``build_sentence_context`` derives per-sentence gram
+    lists with a ``transform`` — no groupBy shuffle of the exploded rows).
+
+    ``lean=True`` drops the word-gram span strings from the checkpoint
+    (reconstructed at read via ``gram_span``). That makes the checkpoint
+    BUILD ~2.6x faster (the span allocations are its memory-bandwidth
+    cost), but every downstream branch that reads ``raw_span`` then pays
+    the array_join reconstruction per evaluation — measured a net 1.6x
+    END-TO-END LOSS on the fused datapath, where the gram view is
+    consumed lazily by many unmaterialized branches (same-window A/B,
+    BENCH.md caveats). Default is therefore the span-materializing form;
+    lean suits only flows that checkpoint every consumer once."""
+    from tecs_hardware_kbc_spark.operators.extract import grams_col
+
+    offsets = (F.col("char_offsets")
+               if "char_offsets" in sentences.columns else None)
+    gc = grams_col(offsets=offsets, lean=lean)
+    return sentences.select(*_CTX_COLS, "words", gc.alias("_grams")) \
+                    .localCheckpoint()
+
+
+def gram_span(g, words):
+    """A (possibly lean) gram struct's span text: stored for derived
+    (n == 0) grams, ``array_join(slice(words, wi+1, n))`` otherwise."""
+    return F.coalesce(
+        g["span"],
+        F.array_join(F.slice(words, g["wi"] + 1, g["n"]), " "))
+
+
+def explode_gram_arrays(arr: DataFrame, lean: bool = False) -> DataFrame:
+    """The exploded gram view over a ``gram_space_compact`` table. Callers
+    MUST NOT checkpoint the result — that would re-inflate the compact
+    cache 25x.
+
+    For a lean table, spans are reconstructed INSIDE the array transform,
+    before the explode: the Generate node then emits concrete span values
+    and every downstream reference is a plain attribute read.
+    Reconstructing after the explode instead would let Catalyst's
+    project-collapsing inline the slice+join into EVERY filter that
+    touches ``raw_span`` (part_mentions alone reads it 5+ times) —
+    measured 2.6x slower end-to-end."""
+    if lean:
+        full = F.transform(
+            "_grams",
+            lambda g: F.struct(
+                gram_span(g, F.col("words")).alias("span"),
+                g["wi"].alias("wi"), g["n"].alias("n"),
+                g["char_start"].alias("char_start"),
+                g["char_end"].alias("char_end")))
+        g = arr.select(*_CTX_COLS, F.explode(full).alias("g"))
+    else:
+        g = arr.select(*_CTX_COLS, F.explode("_grams").alias("g"))
+    return g.select(
+        *_CTX_COLS,
+        F.col("g.span").alias("raw_span"),
+        F.col("g.wi").alias("wi"),
+        F.col("g.n").alias("n"),
+        F.col("g.char_start").alias("char_start"),
+        F.col("g.char_end").alias("char_end"),
+    )
+
+
 def gram_space(sentences: DataFrame, materialize: bool = False) -> DataFrame:
     """The FULL exploded gram table (computed once per corpus and shared by
     every matcher and context builder — each then applies a cheap ``n``
     filter). ``n == 0`` = sub-token / punctuation-stripped grams.
 
-    ``materialize=True`` evaluates the gram HOF once and localCheckpoints
-    the COMPACT one-row-per-sentence array form — the context columns are
-    stored once per sentence instead of once per gram (~25x less row
-    volume on the memory bus), and consumers re-run only the cheap explode
-    against the cached arrays. Callers using this MUST NOT checkpoint the
-    returned (exploded) frame again — that would re-inflate it."""
+    ``materialize=True`` evaluates the gram HOF once via
+    ``gram_space_compact`` and explodes the cached arrays per consumer."""
     from tecs_hardware_kbc_spark.operators.extract import grams_col
 
+    if materialize:
+        return explode_gram_arrays(gram_space_compact(sentences))
     offsets = (F.col("char_offsets")
                if "char_offsets" in sentences.columns else None)
-    gc = grams_col(offsets=offsets)
-    if materialize:
-        arr = sentences.select(*_CTX_COLS, gc.alias("_grams")) \
-                       .localCheckpoint()
-        g = arr.select(*_CTX_COLS, F.explode("_grams").alias("g"))
-    else:
-        g = sentences.select(*_CTX_COLS, F.explode(gc).alias("g"))
+    g = sentences.select(*_CTX_COLS,
+                         F.explode(grams_col(offsets=offsets)).alias("g"))
     return g.select(
         *_CTX_COLS,
         F.col("g.span").alias("raw_span"),
@@ -126,6 +188,17 @@ _expand_parts_udf = F.pandas_udf(
     T.ArrayType(T.StringType()),
 )
 
+# A span's expansion can differ from [span] only if it contains a range or
+# suffix trigger: ',' or '/' (_SUFFIX_RE/_BASE_RE; slash halves), '~', a
+# 3+-dot ellipsis, an ASCII or unicode dash, or a to/thru/through separator
+# token (every separator branch of _RANGE_RE keys on one of these — a bare
+# space between words is NOT a separator). Spans without any trigger are
+# provably identity under expand_part_range, so they skip the pandas UDF
+# AND the vocabulary join (at 64k pages that is ~70% of the distinct
+# vocabulary); soundness is pinned by test_expand's exhaustive property
+# test over the corpus alphabet.
+_EXPAND_TRIGGER_RGX = "[~,/‐‑‒–—−-]|\\.{3}|(?i:to|thru|through)"
+
 
 def part_mentions(grams: DataFrame, gazetteer: DataFrame) -> DataFrame:
     """Part-number mentions: (regex ∪ dictionary ∪ filename) matchers over
@@ -152,21 +225,32 @@ def part_mentions(grams: DataFrame, gazetteer: DataFrame) -> DataFrame:
         & (F.regexp_like(up, F.lit(f"(?:{part_token_anywhere})"))
            | F.regexp_like(up, F.lit(r"^[A-Z0-9\-]{5,15}$")))
     )
-    # expand DISTINCT spans only (the pandas UDF sees the vocabulary, not
-    # every occurrence), then map expansions back over the gram rows.
-    # The vocabulary is tiny in BYTES but CPU-heavy per row (difflib), so
-    # AQE would coalesce its exchange to one partition and serialize the
-    # UDF — spread it explicitly across the cluster.
+    # Only spans carrying an expansion trigger go through the UDF + join;
+    # trigger-free spans are identity under expansion and take a pure
+    # column-expression bypass (no distinct, no broadcast, no Python).
+    # Expandable spans expand as DISTINCT vocabulary only (the pandas UDF
+    # sees each span once, not every occurrence), then map back over the
+    # gram rows via a small broadcast. The vocabulary is tiny in BYTES but
+    # CPU-heavy per row (difflib), so AQE would coalesce its exchange to
+    # one partition and serialize the UDF — spread it explicitly.
+    gate = F.regexp_like(F.col("raw_span"), F.lit(_EXPAND_TRIGGER_RGX))
+    gated = candidates.filter(gate)
     par = grams.sparkSession.sparkContext.defaultParallelism
     vocab = (
-        candidates.select("raw_span").distinct()
+        gated.select("raw_span").distinct()
         .repartition(par)
         .withColumn("parts", _expand_parts_udf(F.col("raw_span")))
     )
-    exploded = candidates.join(F.broadcast(vocab), "raw_span").select(
-        *(c for c in candidates.columns),
+    expanded = gated.join(F.broadcast(vocab), "raw_span").select(
+        *(c for c in gated.columns),
         F.explode("parts").alias("part_span"),
-    ).filter(~F.col("part_span").contains(" "))
+    )
+    bypass = candidates.filter(~gate).select(
+        *(c for c in candidates.columns),
+        F.upper(F.col("raw_span")).alias("part_span"),
+    )
+    exploded = expanded.unionByName(bypass) \
+        .filter(~F.col("part_span").contains(" "))
 
     # ONE pass over the expanded spans: the three matchers are OR'd boolean
     # columns (dictionary membership via a broadcast left join flag), so the

@@ -234,12 +234,13 @@ def run_kbc(
     sentences = parse_pages(clean).localCheckpoint()
     # the gram table is materialized once: higher-order-function evaluation
     # is the expensive part (HOFs don't fully codegen), so ~10 downstream
-    # consumers must read cached results, not re-derive them. materialize=
-    # True checkpoints the COMPACT pre-explode array form (context columns
+    # consumers must read cached results, not re-derive them. The COMPACT
+    # pre-explode array form is what gets checkpointed (context columns
     # stored once per sentence, not once per gram — ~25x less cached row
     # volume); consumers re-run only the cheap explode. Measured 1.75x
     # faster end-to-end at 64k pages than checkpointing the exploded rows.
-    grams = M.gram_space(sentences, materialize=True)
+    grams_compact = M.gram_space_compact(sentences)
+    grams = M.explode_gram_arrays(grams_compact)
 
     def ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint()
@@ -251,7 +252,9 @@ def run_kbc(
     try:
         row_f = pool.submit(ckpt, X.build_row_ngrams(grams))
         col_f = pool.submit(ckpt, X.build_col_ngrams(grams))
-        sent_ctx_f = pool.submit(ckpt, build_sentence_context(sentences, grams))
+        sent_ctx_f = pool.submit(
+            ckpt, build_sentence_context(sentences, grams,
+                                         compact=grams_compact))
         parts_f = pool.submit(ckpt, M.part_mentions(grams, gazetteer))
         comps_f = (
             pool.submit(

@@ -87,3 +87,27 @@ def test_current_normalizer():
     assert normalize_current_span("±2.3") == "±2.3"
     assert normalize_current_span("230") == "230"
     assert normalize_current_span("hello") == "hello"
+
+
+def test_trigger_free_spans_are_identity():
+    """Soundness of mentions._EXPAND_TRIGGER_RGX: a span without any
+    expansion trigger character must expand to exactly [itself] — this is
+    what lets part_mentions route trigger-free grams around the pandas UDF
+    and the vocabulary join."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    py_gate = re.compile("[~,/‐‑‒–—−-]|\\.{3}|to|thru|through", re.IGNORECASE)
+    alphabet = st.sampled_from(
+        list("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+             "0123456789 ._+±°"))
+
+    @settings(max_examples=2000, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=18))
+    def check(s):
+        if not py_gate.search(s):
+            assert expand_part_range(s) == [s]
+
+    check()
