@@ -24,8 +24,26 @@ math, reproducible plans.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 import pyspark.sql.functions as F
+
+
+def _let(val: Column, body) -> Column:
+    """Expression-level ``let``: evaluate ``val`` ONCE per row and bind it
+    as a lambda variable in ``body``.
+
+    Spark evaluates non-lambda-variable subexpressions captured inside a
+    higher-order-function lambda PER ARRAY ELEMENT (there is no
+    subexpression cache across lambda invocations). Any transform that
+    reads its input array through ``element_at`` inside a lambda — i.e.
+    every geometric permutation here — would therefore re-evaluate a
+    *composed* input expression n times per row: O(n²) per image for a
+    chained policy. Binding the input through a 1-element array transform
+    makes it a lambda VARIABLE, which is a cheap per-element slot read.
+    Catalyst still fuses the whole chain into one projection."""
+    return F.element_at(F.transform(F.array(val), body), 1)
 
 
 def _idx(w: Column, h: Column):
@@ -33,16 +51,22 @@ def _idx(w: Column, h: Column):
     return F.sequence(F.lit(0), w * h - 1)
 
 
-def _permute(pixels: Column, w: Column, h: Column, src) -> Column:
-    """Output[i] = pixels[src(row, col)] — the geometric-transform kernel.
-    ``src(r, c)`` returns the 0-based SOURCE flat index for output (r, c).
-    """
-    return F.transform(
-        _idx(w, h),
+def _permute(pixels: Column, w: Column, h: Column, src,
+             out_w: Column | None = None,
+             out_h: Column | None = None) -> Column:
+    """Output[i] = pixels[src(row, col)] — the geometric-transform kernel
+    for ALWAYS-IN-RANGE mappings (flip/rotate90/crop/resize). ``src(r, c)``
+    returns the 0-based SOURCE flat index for output (r, c); out-of-range
+    mappings must go through ``_fetch2d`` instead (ANSI ``element_at``
+    throws on bad indices). Output dims default to the input dims."""
+    ow = out_w if out_w is not None else w
+    oh = out_h if out_h is not None else h
+    return _let(pixels, lambda px: F.transform(
+        _idx(ow, oh),
         lambda i: F.element_at(
-            pixels, (src(F.floor(i / w).cast("int"), i % w) + 1).cast("int")
+            px, (src(F.floor(i / ow).cast("int"), i % ow) + 1).cast("int")
         ),
-    )
+    ))
 
 
 def flip_horizontal(pixels: Column, w: Column, h: Column) -> Column:
@@ -60,26 +84,18 @@ def rotate90(pixels: Column, w: Column, h: Column) -> Column:
     input (h-1-c, r) (transforms/rotate.py's right-angle case). Callers
     must swap their width/height columns for downstream transforms."""
     # output row r = i // h, output col c = i % h (output width is h)
-    return F.transform(
-        F.sequence(F.lit(0), w * h - 1),
-        lambda i: F.element_at(
-            pixels,
-            ((h - 1 - (i % h)) * w + F.floor(i / h).cast("int") + 1)
-            .cast("int")),
-    )
+    return _permute(pixels, w, h,
+                    lambda r, c: (h - 1 - c) * w + r,
+                    out_w=h, out_h=w)
 
 
 def crop(pixels: Column, w: Column, h: Column,
          x0: Column, y0: Column, cw: Column, ch: Column) -> Column:
     """Axis-aligned crop to a cw x ch window at (x0, y0)
     (transforms/random_crop.py with explicit offsets)."""
-    return F.transform(
-        F.sequence(F.lit(0), cw * ch - 1),
-        lambda i: F.element_at(
-            pixels,
-            ((y0 + F.floor(i / cw).cast("int")) * w + x0 + i % cw + 1)
-            .cast("int")),
-    )
+    return _permute(pixels, w, h,
+                    lambda r, c: (y0 + r) * w + x0 + c,
+                    out_w=cw, out_h=ch)
 
 
 def cutout(pixels: Column, w: Column, h: Column,
@@ -87,14 +103,14 @@ def cutout(pixels: Column, w: Column, h: Column,
            fill: float = 0.0) -> Column:
     """Zero (or ``fill``) a size x size square at (x0, y0)
     (transforms/cutout.py)."""
-    return F.transform(
+    return _let(pixels, lambda px: F.transform(
         _idx(w, h),
         lambda i: F.when(
             (F.floor(i / w) >= y0) & (F.floor(i / w) < y0 + size)
             & (i % w >= x0) & (i % w < x0 + size),
             F.lit(float(fill)),
-        ).otherwise(F.element_at(pixels, (i + 1).cast("int"))),
-    )
+        ).otherwise(F.element_at(px, (i + 1).cast("int"))),
+    ))
 
 
 def brightness(pixels: Column, factor: Column) -> Column:
@@ -107,13 +123,14 @@ def brightness(pixels: Column, factor: Column) -> Column:
 
 def contrast(pixels: Column, factor: Column) -> Column:
     """Blend with the image mean: mean + factor * (p - mean), clipped
-    (transforms/contrast.py)."""
+    (transforms/contrast.py). The mean is let-bound so it is computed once
+    per image, not once per pixel."""
     mean = F.aggregate(pixels, F.lit(0.0), lambda a, p: a + p) \
         / F.size(pixels)
-    return F.transform(
+    return _let(mean, lambda m: F.transform(
         pixels,
         lambda p: F.least(
-            F.greatest(mean + factor * (p - mean), F.lit(0.0)), F.lit(1.0)))
+            F.greatest(m + factor * (p - m), F.lit(0.0)), F.lit(1.0))))
 
 
 def invert(pixels: Column) -> Column:
@@ -125,3 +142,386 @@ def normalize(pixels: Column, mean: float, std: float) -> Column:
     """(p - mean) / std (transforms/normalize.py) — NOT clipped, as the
     reference feeds the result straight to the model."""
     return F.transform(pixels, lambda p: (p - F.lit(mean)) / F.lit(std))
+
+
+# --- affine / out-of-range geometric transforms -------------------------
+#
+# PIL's Image.AFFINE convention (the reference's ShearX/Y, TranslateX/Y:
+# transforms/shear_x.py:21, translate_x.py:21): the 6-tuple maps OUTPUT
+# coordinates to INPUT coordinates, nearest-neighbor, 0-fill outside the
+# source. Nearest is taken as floor(x + 0.5) — explicit half-up so Spark
+# and DuckDB replays agree bit-for-bit (DuckDB round() is half-up, Spark
+# cast truncates; floor(x+0.5) sidesteps both).
+
+
+def _fetch2d(px: Column, w: Column, h: Column, sr, sc,
+             fill: float = 0.0) -> Column:
+    """pixels[(sr, sc)] with out-of-range -> ``fill`` (ANSI element_at
+    throws on bad indices, so the range guard is explicit)."""
+    return F.when(
+        (sr >= 0) & (sr < h) & (sc >= 0) & (sc < w),
+        F.element_at(px, (sr * w + sc + 1).cast("int")),
+    ).otherwise(F.lit(float(fill)))
+
+
+def _affine(pixels: Column, w: Column, h: Column, sr, sc,
+            fill: float = 0.0) -> Column:
+    """Output (r, c) reads input (sr(r, c), sc(r, c)), 0-filled outside —
+    the kernel for shear/translate/rotate. Input is let-bound (see _let)."""
+    return _let(pixels, lambda px: F.transform(
+        _idx(w, h),
+        lambda i: _fetch2d(
+            px, w, h,
+            sr(F.floor(i / w).cast("int"), i % w),
+            sc(F.floor(i / w).cast("int"), i % w), fill),
+    ))
+
+
+def _near(x) -> Column:
+    """Nearest-neighbor source coordinate: floor(x + 0.5), as an int."""
+    return F.floor(x + F.lit(0.5)).cast("int")
+
+
+def shear_x(pixels: Column, w: Column, h: Column, d: Column) -> Column:
+    """Horizontal shear: input col = c + d*r (PIL AFFINE (1, d, 0, 0, 1,
+    0), transforms/shear_x.py:20-22; reference level range 0..0.3)."""
+    return _affine(pixels, w, h,
+                   lambda r, c: r, lambda r, c: _near(c + d * r))
+
+
+def shear_y(pixels: Column, w: Column, h: Column, d: Column) -> Column:
+    """Vertical shear: input row = r + d*c (PIL AFFINE (1, 0, 0, d, 1, 0),
+    transforms/shear_y.py:20-22)."""
+    return _affine(pixels, w, h,
+                   lambda r, c: _near(r + d * c), lambda r, c: c)
+
+
+def translate_x(pixels: Column, w: Column, h: Column, d: Column) -> Column:
+    """Horizontal translate: input col = c + d — positive d shifts the
+    image LEFT (PIL AFFINE (1, 0, d, ...), transforms/translate_x.py:20)."""
+    return _affine(pixels, w, h,
+                   lambda r, c: r, lambda r, c: _near(c + d))
+
+
+def translate_y(pixels: Column, w: Column, h: Column, d: Column) -> Column:
+    """Vertical translate: input row = r + d (transforms/translate_y.py)."""
+    return _affine(pixels, w, h,
+                   lambda r, c: _near(r + d), lambda r, c: c)
+
+
+def rotate(pixels: Column, w: Column, h: Column,
+           degrees: float) -> Column:
+    """Arbitrary-angle rotation about the image center, nearest-neighbor,
+    0-fill (transforms/rotate.py — PIL.rotate(angle), counterclockwise for
+    positive angles; reference level range 0..30°).
+
+    cos/sin are computed in PYTHON and embedded as double literals: libm
+    trig is not guaranteed bit-identical across engines, but both Spark
+    and DuckDB parse the same decimal literal to the same IEEE double, so
+    the remaining mul/add/floor pipeline replays exactly."""
+    th = math.radians(degrees)
+    co, si = F.lit(math.cos(th)), F.lit(math.sin(th))
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # inverse map: rotate output coords by -theta about the center
+    return _affine(
+        pixels, w, h,
+        lambda r, c: _near(si * (c - cx) + co * (r - cy) + cy),
+        lambda r, c: _near(co * (c - cx) - si * (r - cy) + cx))
+
+
+def resize(pixels: Column, w: Column, h: Column,
+           ow: Column, oh: Column) -> Column:
+    """Nearest-neighbor resize to ow x oh (transforms/resize.py):
+    output (r, c) reads input (floor((r+0.5)*h/oh), floor((c+0.5)*w/ow))."""
+    return _permute(
+        pixels, w, h,
+        lambda r, c: (F.floor((r + 0.5) * h / oh).cast("int") * w
+                      + F.floor((c + 0.5) * w / ow).cast("int")),
+        out_w=ow, out_h=oh)
+
+
+def pad(pixels: Column, w: Column, h: Column, p: Column,
+        mode: str = "constant", fill: float = 0.0) -> Column:
+    """Pad ``p`` pixels on every side -> (w+2p) x (h+2p) (torchvision's
+    RandomCrop padding step, transforms/random_crop.py:25-27). Modes:
+    'constant' (fill) and 'reflect' (mirror WITHOUT repeating the edge:
+    source index -1 -> 1, period 2n-2)."""
+    if mode == "constant":
+        return _let(pixels, lambda px: F.transform(
+            _idx(w + 2 * p, h + 2 * p),
+            lambda i: _fetch2d(
+                px, w, h,
+                F.floor(i / (w + 2 * p)).cast("int") - p,
+                (i % (w + 2 * p)) - p, fill)))
+    if mode != "reflect":
+        raise ValueError(f"unsupported padding mode {mode!r}")
+
+    def refl(x, n):
+        m = F.pmod(F.abs(x), 2 * n - 2)
+        return F.when(m < n, m).otherwise(2 * n - 2 - m)
+
+    return _let(pixels, lambda px: F.transform(
+        _idx(w + 2 * p, h + 2 * p),
+        lambda i: F.element_at(
+            px,
+            (refl(F.floor(i / (w + 2 * p)).cast("int") - p, h) * w
+             + refl((i % (w + 2 * p)) - p, w) + 1).cast("int"))))
+
+
+# --- photometric transforms (8-bit-derived maps) ------------------------
+#
+# q-space: q = least(floor(p*256), 255) — for the md5-derived corpus
+# pixels (b/256 exact binary fractions) this recovers b exactly, so the
+# integer 8-bit semantics of the PIL ops replay without rounding drift.
+
+
+def _q(p) -> Column:
+    return F.least(F.floor(p * 256), F.lit(255)).cast("int")
+
+
+def posterize(pixels: Column, bits: Column) -> Column:
+    """Keep the top ``bits`` bits of the 8-bit value (ImageOps.posterize,
+    transforms/posterize.py; reference level range 0..4 bits):
+    floor(q / 2^(8-bits)) * 2^(8-bits) / 256."""
+    step = F.pow(F.lit(2.0), (F.lit(8) - bits).cast("double"))
+    return F.transform(
+        pixels,
+        lambda p: F.floor(_q(p) / step) * step / F.lit(256.0))
+
+
+def solarize(pixels: Column, threshold: Column) -> Column:
+    """Invert pixels at/above the threshold: p < t ? p : 1 - p — the
+    float-space analog of ImageOps.solarize (transforms/solarize.py;
+    reference maps level over (0, 256), i.e. t = level in [0, 1] here)."""
+    return F.transform(
+        pixels, lambda p: F.when(p < threshold, p).otherwise(F.lit(1.0) - p))
+
+
+def auto_contrast(pixels: Column) -> Column:
+    """Linear stretch to full range: (p - min)/(max - min), identity on
+    constant images (ImageOps.autocontrast, transforms/auto_contrast.py).
+    min/max are let-bound — computed once per image."""
+    lohi = F.struct(F.array_min(pixels).alias("lo"),
+                    F.array_max(pixels).alias("hi"))
+    return _let(lohi, lambda s: F.transform(
+        pixels,
+        lambda p: F.when(s["hi"] > s["lo"],
+                         (p - s["lo"]) / (s["hi"] - s["lo"])).otherwise(p)))
+
+
+def equalize(pixels: Column) -> Column:
+    """Histogram equalization over the 256 q-space bins
+    (ImageOps.equalize, transforms/equalize.py): out = (cdf(q) - cdfmin) /
+    (n - cdfmin) where cdf(v) = #pixels with q <= v and cdfmin = cdf of
+    the lowest occupied bin; constant images pass through.
+
+    The 256-entry CDF array is built once per image — O(256n) — and
+    let-bound, so the per-pixel lookup is an O(1) element_at. Equivalent
+    per-pixel membership form (what the DuckDB oracle replays with a
+    cumulative count window): out_i = (#{q_j <= q_i} - #{q_j = q_min}) /
+    (n - #{q_j = q_min})."""
+    cdf = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda v: F.size(F.filter(pixels, lambda p: _q(p) <= v)))
+    env = F.struct(cdf.alias("cdf"),
+                   F.size(pixels).alias("n"),
+                   _q(F.array_min(pixels)).alias("qmin"))
+    return _let(env, lambda e: F.transform(
+        pixels,
+        lambda p: F.when(
+            e["n"] > F.element_at(e["cdf"], e["qmin"] + 1),
+            (F.element_at(e["cdf"], _q(p) + 1)
+             - F.element_at(e["cdf"], e["qmin"] + 1)).cast("double")
+            / (e["n"] - F.element_at(e["cdf"], e["qmin"] + 1))
+        ).otherwise(p)))
+
+
+def sharpness(pixels: Column, w: Column, h: Column,
+              factor: Column) -> Column:
+    """Blend with a 3x3-smoothed version: smooth + factor*(p - smooth),
+    clipped (ImageEnhance.Sharpness, transforms/sharpness.py; reference
+    factor range 0.1..1.9). The smoothing kernel is PIL's SMOOTH
+    (1 1 1 / 1 5 1 / 1 1 1, /13); border pixels pass through unfiltered,
+    as PIL's enhancer leaves the 1-px border unprocessed."""
+    from tecs_hardware_kbc_spark.operators.convolve import conv3x3
+    k = [1.0, 1.0, 1.0, 1.0, 5.0, 1.0, 1.0, 1.0, 1.0]
+    smooth = conv3x3(pixels, w, h, [x / 13.0 for x in k], border="copy")
+    pair = F.zip_with(pixels, smooth,
+                      lambda p, s: F.least(
+                          F.greatest(s + factor * (p - s), F.lit(0.0)),
+                          F.lit(1.0)))
+    return pair
+
+
+def color(pixels: Column, factor: Column) -> Column:
+    """ImageEnhance.Color blends with the grayscale conversion
+    (transforms/color.py) — on this engine's single-channel grayscale
+    model that blend is exactly the identity, kept so policies written
+    for the reference parse and run unchanged."""
+    return F.transform(pixels, lambda p: p + F.lit(0.0) * factor)
+
+
+def identity(pixels: Column) -> Column:
+    """transforms/identity.py."""
+    return pixels
+
+
+# --- policy grammar -----------------------------------------------------
+
+
+def _hash_u(seed: Column, tag: str) -> Column:
+    """Deterministic per-image uniform in [0, 1): the first 4 md5 bytes of
+    ``seed || ':' || tag`` over 2^32 — the cross-engine-stable hash
+    primitive (DuckDB replay: ('0x'||substr(md5(..),1,8))::ubigint /
+    4294967296.0)."""
+    return (F.conv(F.substring(F.md5(F.concat(seed, F.lit(":" + tag))),
+                               1, 8), 16, 10).cast("double")
+            / F.lit(4294967296.0))
+
+
+def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
+                 seed: Column | None = None) -> tuple[Column, Column, Column]:
+    """Compile the reference's augmentation-policy grammar
+    (augment_policy.py:19-52) into composed column expressions; returns
+    ``(pixels, width, height)`` after the chain (dims change under
+    RandomCrop/Resize).
+
+    Grammar: transforms joined by ``@``; each is ``Name`` plus
+    ``_``-separated settings — ``P<prob>``, ``L<level>``, ``MP<max_pixel>``
+    (Cutout), ``MD<max_degree>`` (TranslateX/Y), ``S<size>`` /
+    ``PD<padding>`` / ``PM<mode>`` (RandomCrop). E.g.
+    ``"Cutout_MP20@Rotate"`` or
+    ``"RandomCrop_P1_S224_PD20_PMreflect@HorizontalFlip_P0.5"``.
+
+    Determinism (the reference samples at parse and apply time;
+    augment.py's mandate is reproducible plans): unspecified level
+    defaults to 0.5 and unspecified prob to 1.0; the apply-coin, the
+    sign flip on Shear/Translate/Rotate, and Cutout / RandomCrop offsets
+    are per-image md5 draws from ``seed`` when given (replayable in SQL
+    via ``_hash_u``), else prob<1 raises, signs stay positive and offsets
+    center. Magnitudes map level over each transform's reference
+    value_range (utils.categorize_value)."""
+    px, cw, ch = pixels, w, h
+    for idx, spec in enumerate(policy.split("@")):
+        toks = spec.split("_")
+        name, settings = toks[0], toks[1:]
+        prob, level = 1.0, 0.5
+        max_pixel, max_degree = 20, 10
+        size: int | None = None
+        padding, pad_mode = 0, "constant"
+        for s in settings:
+            if s.startswith("PD"):
+                padding = int(s[2:].split(",")[0])
+            elif s.startswith("PIN") or s.startswith("PM"):
+                if s.startswith("PM"):
+                    pad_mode = s[2:]
+            elif s.startswith("MP"):
+                max_pixel = int(s[2:])
+            elif s.startswith("MD"):
+                max_degree = int(s[2:])
+            elif s.startswith("P"):
+                prob = float(s[1:])
+            elif s.startswith("L"):
+                level = float(s[1:])
+            elif s.startswith("S"):
+                size = int(s[1:].split(",")[0])
+            # A/R/I/B/C/T settings configure the reference's mixup /
+            # interpolation / color-jitter paths — no-ops here
+
+        def coin(tag: str) -> Column:
+            if seed is None:
+                raise ValueError(
+                    f"{name}: prob/offset sampling needs a seed column")
+            return _hash_u(seed, f"{idx}:{name}:{tag}")
+
+        def signed(mag: float) -> Column:
+            if seed is None:
+                return F.lit(mag)
+            return F.when(coin("sign") > 0.5, F.lit(-mag)) \
+                    .otherwise(F.lit(mag))
+
+        ow, oh = cw, ch  # dims after this transform
+        factor = 0.1 + level * 1.8  # the shared enhancer range
+        if name == "AutoContrast":
+            out = auto_contrast(px)
+        elif name == "Brightness":
+            out = brightness(px, F.lit(factor))
+        elif name == "Color":
+            out = color(px, F.lit(factor))
+        elif name == "Contrast":
+            out = contrast(px, F.lit(factor))
+        elif name == "Cutout":
+            deg = int(level * max_pixel)
+            if seed is not None:
+                x0 = F.greatest(F.lit(0),
+                                F.floor(coin("x") * cw - deg / 2.0)) \
+                      .cast("int")
+                y0 = F.greatest(F.lit(0),
+                                F.floor(coin("y") * ch - deg / 2.0)) \
+                      .cast("int")
+            else:
+                x0 = F.floor((cw - deg) / 2).cast("int")
+                y0 = F.floor((ch - deg) / 2).cast("int")
+            out = cutout(px, cw, ch, x0, y0, F.lit(deg), fill=121 / 255.0)
+        elif name == "Equalize":
+            out = equalize(px)
+        elif name == "HorizontalFlip":
+            out = flip_horizontal(px, cw, ch)
+        elif name == "VerticalFlip":
+            out = flip_vertical(px, cw, ch)
+        elif name == "Identity":
+            out = px
+        elif name == "Invert":
+            out = invert(px)
+        elif name == "Posterize":
+            out = posterize(px, F.lit(int(level * 4)))
+        elif name == "RandomCrop":
+            if size is None:
+                raise ValueError("RandomCrop needs an S<size> setting")
+            if prob < 1.0:
+                raise ValueError(
+                    "probabilistic RandomCrop would make output dims "
+                    "data-dependent")
+            if padding:
+                px = pad(px, cw, ch, F.lit(padding), mode=pad_mode)
+                cw, ch = cw + 2 * padding, ch + 2 * padding
+            if seed is not None:
+                x0 = F.floor(coin("x") * (cw - size + 1)).cast("int")
+                y0 = F.floor(coin("y") * (ch - size + 1)).cast("int")
+            else:
+                x0 = F.floor((cw - size) / 2).cast("int")
+                y0 = F.floor((ch - size) / 2).cast("int")
+            out = crop(px, cw, ch, x0, y0, F.lit(size), F.lit(size))
+            ow, oh = F.lit(size), F.lit(size)
+        elif name == "Resize":
+            if size is None:
+                raise ValueError("Resize needs an S<size> setting")
+            out = resize(px, cw, ch, F.lit(size), F.lit(size))
+            ow, oh = F.lit(size), F.lit(size)
+        elif name == "Rotate":
+            deg = level * 30.0
+            if seed is None:
+                out = rotate(px, cw, ch, deg)
+            else:
+                out = F.when(coin("sign") > 0.5,
+                             rotate(px, cw, ch, -deg)) \
+                       .otherwise(rotate(px, cw, ch, deg))
+        elif name == "Sharpness":
+            out = sharpness(px, cw, ch, F.lit(factor))
+        elif name == "ShearX":
+            out = shear_x(px, cw, ch, signed(level * 0.3))
+        elif name == "ShearY":
+            out = shear_y(px, cw, ch, signed(level * 0.3))
+        elif name == "Solarize":
+            out = solarize(px, F.lit(level))
+        elif name == "TranslateX":
+            out = translate_x(px, cw, ch, signed(level * max_degree))
+        elif name == "TranslateY":
+            out = translate_y(px, cw, ch, signed(level * max_degree))
+        else:
+            raise ValueError(f"Unrecognized transformation {spec!r}")
+
+        if prob < 1.0:
+            out = F.when(coin("p") <= F.lit(prob), out).otherwise(px)
+        px, cw, ch = out, ow, oh
+    return px, cw, ch

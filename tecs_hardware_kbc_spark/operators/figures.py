@@ -22,14 +22,20 @@ throttler (:112-121), ground truth is a ``doc::filename`` membership set
                       LR trained on the dev doc slice, P/R on test
                       (dev-tune/test-report discipline, as in scoring.py).
 
-The classifier is a declared stand-in for the reference's CNN: the
-synthetic connectors are near-square (|log aspect| ~ 0) and negatives are
-1.6-2.8x elongated, so a 2-feature logistic regression on
-(|log(w/h)|, min_dim) learns the boundary. COST CONTRACT: the fit
-collects 2 floats + a label per dev-slice figure to the driver (~16 B per
-figure; 10^7 figures ~ 160 MB — beyond that, use spark.ml LBFGS as in
-features.fit_logreg_distributed). Inference is a broadcast-weights column
-expression — fully distributed.
+The classifier is a declared stand-in for the reference's ResNet
+(circular_connectors/modules/, task.py:1-62): fixed 3x3 conv kernels
+(Sobel-x/y, center-surround — convolve.py) pooled into
+translation-invariant statistics over the thumbnail pixels, feeding a
+dense logistic-regression head. The conv layer is fixed rather than
+learned, and the thumbnail pixels come from the deterministic harness
+raster (``synthesize_thumbnail`` — the container has no image codec);
+the feature extraction, pooling, fit/predict split and inference plan
+are the real machinery. COST CONTRACT: the fit collects 4 floats + a
+label per dev-slice figure to the driver (~40 B per figure; 10^6 figures
+~ 40 MB — beyond that, use spark.ml LBFGS as in
+features.fit_logreg_distributed). The conv maps themselves never leave
+the executors; inference is a broadcast-weights column expression —
+fully distributed.
 """
 
 from __future__ import annotations
@@ -105,6 +111,43 @@ def synthesize_media(figures: DataFrame) -> DataFrame:
                        _png(F.col("_w"), F.col("_h")).alias("payload"))
 
 
+THUMB = 16  # thumbnail raster side for the conv feature path
+
+
+def synthesize_thumbnail(url: Column, src: Column,
+                         size: int = THUMB) -> Column:
+    """Deterministic ``size x size`` grayscale pixel raster for a figure —
+    the corpus-harness stand-in for DECODED thumbnail content (the
+    container ships no codec; a real deployment's decode tier would fill
+    this column from the payload bytes).
+
+    Content is class-dependent so the conv classifier learns from pixel
+    STRUCTURE, not planted aspect geometry: connectors render a jittered
+    annulus (the circular-connector silhouette), negatives render
+    axis-aligned stripes. All integer index math — the ``media_conv``
+    oracle replays it exactly in SQL."""
+    h = _fig_hash(url, src)
+    is_conn = (_byte(h, 0) % 2) == 1           # the SAME class bit
+    cx = 5 + _byte(h, 5) % 6
+    cy = 5 + _byte(h, 6) % 6
+    rad = 3 + _byte(h, 7) % 4
+    horiz = (_byte(h, 8) % 2) == 0
+    period = 3 + _byte(h, 9) % 3
+    phase = _byte(h, 10) % period
+
+    def val(i):
+        r = F.floor(i / size).cast("int")
+        c = (i % size).cast("int")
+        d2 = (r - cy) * (r - cy) + (c - cx) * (c - cx)
+        on_ring = F.abs(d2 - rad * rad) <= rad
+        stripe_pos = F.when(horiz, r).otherwise(c) + phase
+        on_stripe = F.pmod(stripe_pos, period) == 0
+        lit = F.when(is_conn, on_ring).otherwise(on_stripe)
+        return F.when(lit, F.lit(0.9)).otherwise(F.lit(0.1))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(size * size - 1)), val)
+
+
 def connector_gold(figures: DataFrame) -> DataFrame:
     """(url, src) membership table of the planted positives — the analog
     of the reference's ground_truth.txt ``doc::filename`` set consumed by
@@ -144,47 +187,60 @@ def figure_mentions(figures: DataFrame, media: DataFrame) -> DataFrame:
         F.least("width", "height") > MIN_THUMB_DIM)
 
 
-def _fig_features() -> tuple[Column, Column]:
-    """(|log(w/h)|, min_dim / 256) — the decode-derived signal the LR
-    stand-in separates on."""
-    aspect = F.abs(F.log(F.col("width") / F.col("height")))
-    return aspect, F.least("width", "height") / F.lit(256.0)
+def _fig_features() -> list[Column]:
+    """The classifier feature vector: pooled |Sobel-x|, |Sobel-y| and
+    |center-surround| responses over the thumbnail pixels (convolve.py's
+    fixed 3x3 bank — translation-invariant conv statistics standing in
+    for the reference ResNet's learned features), plus the gradient
+    anisotropy ||sx|-|sy|| (rings are isotropic, stripes are not — a
+    nonlinearity the LR head could not synthesize from sx/sy alone)."""
+    from tecs_hardware_kbc_spark.operators.convolve import conv_features
+    side = F.lit(THUMB)
+    px = synthesize_thumbnail(F.col("url"), F.col("src"))
+    sx, sy, cs = conv_features(px, side, side)
+    return [sx, sy, cs, F.abs(sx - sy)]
+
+
+N_FEATURES = 4
 
 
 def fit_connector_lr(mentions_dev: DataFrame, gold: DataFrame,
                      epochs: int = 200, lr: float = 1.0,
                      seed: int = 7) -> dict:
-    """Dense 2-feature logistic regression on the dev slice (see the COST
-    CONTRACT in the module docstring). Deterministic full-batch GD."""
-    a, m = _fig_features()
+    """Dense logistic regression over the conv features, fit on the dev
+    slice (see the COST CONTRACT in the module docstring — the conv maps
+    themselves stay distributed; only the pooled feature vector is
+    collected). Deterministic full-batch GD."""
+    feats = _fig_features()
     rows = (
         mentions_dev
         .join(gold.withColumn("_y", F.lit(1.0)), ["url", "src"], "left")
-        .select(a.alias("x1"), m.alias("x2"),
+        .select(*(f.alias(f"x{i}") for i, f in enumerate(feats)),
                 F.coalesce("_y", F.lit(0.0)).alias("y"))
         .collect()
     )
     if not rows:
-        return {"w": [0.0, 0.0], "b": 0.0}
-    X = np.array([[r["x1"], r["x2"]] for r in rows])
+        return {"w": [0.0] * N_FEATURES, "b": 0.0}
+    X = np.array([[r[f"x{i}"] for i in range(N_FEATURES)] for r in rows])
     y = np.array([r["y"] for r in rows])
-    w = np.zeros(2)
+    w = np.zeros(N_FEATURES)
     b = 0.0
     for _ in range(epochs):
         p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
         err = p - y
         w -= lr * (X.T @ err) / len(y)
         b -= lr * float(err.mean())
-    return {"w": [float(w[0]), float(w[1])], "b": float(b)}
+    return {"w": [float(v) for v in w], "b": float(b)}
 
 
 def predict_connector(mentions: DataFrame, model: dict,
                       threshold: float = 0.5) -> DataFrame:
     """Broadcast-weights inference as a column expression; keeps rows with
     p > threshold."""
-    a, m = _fig_features()
-    z = (F.lit(model["w"][0]) * a + F.lit(model["w"][1]) * m
-         + F.lit(model["b"]))
+    feats = _fig_features()
+    z = F.lit(model["b"])
+    for wi, f in zip(model["w"], feats):
+        z = z + F.lit(wi) * f
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return mentions.withColumn("prob", prob).filter(F.col("prob") > threshold)
 

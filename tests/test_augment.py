@@ -77,3 +77,222 @@ def test_involutions_and_composition(spark):
     assert plan.count("Project") == 1  # fused into one projection
     exp = (np.clip(img[::-1, :] * 0.9, 0, 1) - 0.5) / 0.25
     assert np.allclose(_run(df, composed), exp.reshape(-1))
+
+
+# --- round-4 additions: affine / photometric completion + policy --------
+
+def _np_affine(img, sr, sc, fill=0.0):
+    h, w = img.shape
+    out = np.full((h, w), fill)
+    for r in range(h):
+        for c in range(w):
+            rr, cc = sr(r, c), sc(r, c)
+            if 0 <= rr < h and 0 <= cc < w:
+                out[r, c] = img[rr, cc]
+    return out
+
+
+def _half_up(x):
+    return int(np.floor(x + 0.5))
+
+
+def test_affine_vs_numpy(spark):
+    img = _rng_img(seed=21, h=6, w=8)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    exp = _np_affine(img, lambda r, c: r, lambda r, c: _half_up(c + 0.4 * r))
+    assert np.allclose(_run(df, A.shear_x(px, w, h, F.lit(0.4))),
+                       exp.reshape(-1))
+    exp = _np_affine(img, lambda r, c: _half_up(r - 0.3 * c), lambda r, c: c)
+    assert np.allclose(_run(df, A.shear_y(px, w, h, F.lit(-0.3))),
+                       exp.reshape(-1))
+    exp = _np_affine(img, lambda r, c: r, lambda r, c: c + 3)
+    assert np.allclose(_run(df, A.translate_x(px, w, h, F.lit(3.0))),
+                       exp.reshape(-1))
+    exp = _np_affine(img, lambda r, c: r - 2, lambda r, c: c)
+    assert np.allclose(_run(df, A.translate_y(px, w, h, F.lit(-2.0))),
+                       exp.reshape(-1))
+
+
+def test_rotate_vs_numpy(spark):
+    import math
+    img = _rng_img(seed=22, h=7, w=7)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+    th = math.radians(20.0)
+    co, si = math.cos(th), math.sin(th)
+    cx = cy = 3.0
+    exp = _np_affine(
+        img,
+        lambda r, c: _half_up(si * (c - cx) + co * (r - cy) + cy),
+        lambda r, c: _half_up(co * (c - cx) - si * (r - cy) + cx))
+    assert np.allclose(_run(df, A.rotate(px, w, h, 20.0)), exp.reshape(-1))
+    # rotate(0) is the identity
+    assert np.allclose(_run(df, A.rotate(px, w, h, 0.0)), img.reshape(-1))
+
+
+def test_resize_and_pad_vs_numpy(spark):
+    img = _rng_img(seed=23, h=4, w=6)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    ow, oh = 3, 8
+    exp = np.array([[img[int((r + 0.5) * 4 / oh), int((c + 0.5) * 6 / ow)]
+                     for c in range(ow)] for r in range(oh)])
+    assert np.allclose(_run(df, A.resize(px, w, h, F.lit(ow), F.lit(oh))),
+                       exp.reshape(-1))
+
+    exp = np.pad(img, 2, mode="constant", constant_values=0.25)
+    got = _run(df, A.pad(px, w, h, F.lit(2), "constant", fill=0.25))
+    assert np.allclose(got, exp.reshape(-1))
+    exp = np.pad(img, 2, mode="reflect")
+    got = _run(df, A.pad(px, w, h, F.lit(2), "reflect"))
+    assert np.allclose(got, exp.reshape(-1))
+
+
+def _np_q(p):
+    return np.minimum(np.floor(p * 256), 255)
+
+
+def test_photometric_8bit_vs_numpy(spark):
+    # b/256 pixels: the exact-binary-fraction regime the corpus uses
+    b = (np.arange(24).reshape(4, 6) * 37 + 5) % 256
+    img = b / 256.0
+    df = _img_df(spark, img)
+    px = F.col("pixels")
+
+    step = 2 ** (8 - 3)
+    exp = np.floor(_np_q(img) / step) * step / 256.0
+    assert np.allclose(_run(df, A.posterize(px, F.lit(3))),
+                       exp.reshape(-1))
+
+    exp = np.where(img < 0.5, img, 1.0 - img)
+    assert np.allclose(_run(df, A.solarize(px, F.lit(0.5))),
+                       exp.reshape(-1))
+
+    lo, hi = img.min(), img.max()
+    exp = (img - lo) / (hi - lo)
+    assert np.allclose(_run(df, A.auto_contrast(px)), exp.reshape(-1))
+    # idempotent: stretching a stretched image is the identity
+    assert np.allclose(_run(df, A.auto_contrast(A.auto_contrast(px))),
+                       exp.reshape(-1))
+    # constant image passes through
+    flat = _img_df(spark, np.full((3, 3), 0.5))
+    assert np.allclose(_run(flat, A.auto_contrast(F.col("pixels"))), 0.5)
+
+
+def test_equalize_vs_numpy(spark):
+    b = (np.arange(30).reshape(5, 6) * 11 + 3) % 64  # clustered histogram
+    img = b / 256.0
+    df = _img_df(spark, img)
+    q = _np_q(img)
+    n = q.size
+    cdf = np.array([(q <= v).sum() for v in q.reshape(-1)])
+    cdfmin = (q == q.min()).sum()
+    exp = (cdf - cdfmin) / (n - cdfmin)
+    assert np.allclose(_run(df, A.equalize(F.col("pixels"))), exp)
+    flat = _img_df(spark, np.full((3, 3), 0.25))
+    assert np.allclose(_run(flat, A.equalize(F.col("pixels"))), 0.25)
+
+
+def test_sharpness_and_conv_vs_numpy(spark):
+    from tecs_hardware_kbc_spark.operators import convolve as CV
+    img = _rng_img(seed=24, h=5, w=6)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    def np_conv(img, k, border):
+        hh, ww = img.shape
+        out = np.zeros_like(img)
+        for r in range(hh):
+            for c in range(ww):
+                acc = 0.0
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        kv = k[(dr + 1) * 3 + dc + 1]
+                        rr, cc = r + dr, c + dc
+                        if 0 <= rr < hh and 0 <= cc < ww:
+                            acc += kv * img[rr, cc]
+                        elif border == "copy":
+                            acc = None
+                            break
+                    if acc is None:
+                        break
+                if acc is None:  # border row/col in copy mode
+                    out[r, c] = img[r, c]
+                else:
+                    out[r, c] = acc
+        return out
+
+    got = _run(df, CV.conv3x3(px, w, h, CV.SOBEL_X, border="zero"))
+    assert np.allclose(got, np_conv(img, CV.SOBEL_X, "zero").reshape(-1))
+
+    smooth_k = [x / 13.0 for x in (1, 1, 1, 1, 5, 1, 1, 1, 1)]
+    smooth = np_conv(img, smooth_k, "copy")
+    exp = np.clip(smooth + 1.5 * (img - smooth), 0, 1)
+    assert np.allclose(_run(df, A.sharpness(px, w, h, F.lit(1.5))),
+                       exp.reshape(-1))
+
+    feats = CV.conv_features(px, w, h)
+    got = df.select(*(f.alias(f"f{i}") for i, f in enumerate(feats))).first()
+    sx = np.abs(np_conv(img, CV.SOBEL_X, "zero")).mean()
+    sy = np.abs(np_conv(img, CV.SOBEL_Y, "zero")).mean()
+    cs = np.abs(np_conv(img, CV.CENTER_SURROUND, "zero")).mean()
+    assert np.allclose([got["f0"], got["f1"], got["f2"]], [sx, sy, cs])
+
+
+def test_parse_policy(spark):
+    """The policy grammar compiles to the same math as the hand-composed
+    chain, honors MD/MP/S/PD/PM settings, fuses into one Project, and
+    seed-driven draws replay the md5 math."""
+    import hashlib
+
+    img = _rng_img(seed=25, h=6, w=6)
+    df = _img_df(spark, img).withColumn("url", F.lit("doc://7"))
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    out, ow, oh = A.parse_policy(
+        "ShearX_L0.5@Posterize_L0.75@Solarize_L0.55@AutoContrast",
+        px, w, h)
+    manual = A.auto_contrast(
+        A.solarize(
+            A.posterize(A.shear_x(px, w, h, F.lit(0.15)), F.lit(3)),
+            F.lit(0.55)))
+    assert np.allclose(_run(df, out), _run(df, manual))
+    plan = df.select(out.alias("p"))._jdf.queryExecution() \
+             .optimizedPlan().toString()
+    assert plan.count("Project") == 1
+
+    # dims flow through RandomCrop with reflect padding
+    out, ow, oh = A.parse_policy(
+        "RandomCrop_P1_S8_PD2_PMreflect@HorizontalFlip", px, w, h)
+    vals = df.select(F.size(out).alias("n"),
+                     ow.alias("w"), oh.alias("h")).first()
+    assert (vals["n"], vals["w"], vals["h"]) == (64, 8, 8)
+    manual_px = A.pad(px, w, h, F.lit(2), "reflect")
+    manual = A.flip_horizontal(
+        A.crop(manual_px, w + 4, h + 4, F.lit(1), F.lit(1),
+               F.lit(8), F.lit(8)),
+        F.lit(8), F.lit(8))
+    assert np.allclose(_run(df, out), _run(df, manual))
+
+    # seeded: the apply-coin and sign replay hashlib's md5 exactly
+    def u(tag):
+        hx = hashlib.md5(f"doc://7:{tag}".encode()).hexdigest()
+        return int(hx[:8], 16) / 2 ** 32
+
+    out, _, _ = A.parse_policy("TranslateX_P0.5_L0.4_MD5",
+                               px, w, h, seed=F.col("url"))
+    applied = u("0:TranslateX:p") <= 0.5
+    d = -2.0 if u("0:TranslateX:sign") > 0.5 else 2.0
+    exp = (_np_affine(img, lambda r, c: r, lambda r, c: _half_up(c + d))
+           if applied else img)
+    assert np.allclose(_run(df, out), exp.reshape(-1))
+
+    # unknown names raise, like the reference parser
+    try:
+        A.parse_policy("Nope", px, w, h)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass

@@ -76,8 +76,12 @@ def test_connectors_e2e_gate(spark):
     pages, _, _ = corpus_to_dataframes(spark, generate_corpus(200, seed=42))
     r = score_connectors(pages)
     assert r["precision"] >= 0.9 and r["recall"] >= 0.9
-    # aspect must carry the signal (negative weight on |log aspect|)
-    assert r["model"]["w"][0] < 0
+    # the gradient anisotropy ||sx|-|sy|| must be the dominant NEGATIVE
+    # signal (axis-aligned stripes are anisotropic, rings are not) — the
+    # conv features, not planted aspect geometry, do the separating
+    w = r["model"]["w"]
+    assert w[3] < 0
+    assert abs(w[3]) == max(abs(v) for v in w)
 
 
 def test_connectors_cli(spark, tmp_path, capsys):
