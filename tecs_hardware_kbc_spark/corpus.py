@@ -191,6 +191,28 @@ def _transistor_html(rng: random.Random, family: list[str],
                  if comp_part else "")
     prose_ce = (" A collector-emitter voltage above the rated maximum must "
                 "not be applied." if rng.random() < 0.3 else "")
+    # two-record-per-row quick-reference table (|part|Tstg|part|Tstg| — the
+    # common multi-record datasheet layout): structurally, each record's
+    # part shares a ROW with the OTHER record's value, so the structural
+    # alignment proxy admits the cross pairs; a wrapped visual rendering
+    # (visual.synthetic_visual_coords) puts each record on its own line
+    # and rejects them — the planted visual-vs-structural disagreement
+    # slice. Values repeat the family-shared Tstg gold, so the cross pairs
+    # are entity-level duplicates, never FPs. md5-gated (NOT rng) so the
+    # page's rng draw sequence — and every downstream planted value — is
+    # byte-identical with or without this table.
+    pair_tbl = ""
+    if len(family) >= 2:
+        gate = int(hashlib.md5(
+            f"{family[0]}:pairtbl".encode()).hexdigest()[:2], 16)
+        if gate % 4 == 0:
+            cell = f"{t_min} to {t_max}"
+            pair_tbl = (
+                "<table><tr><th>Type</th><th>Tstg</th>"
+                "<th>Type</th><th>Tstg</th></tr>"
+                f"<tr><td>{family[0]}</td><td>{cell}</td>"
+                f"<td>{family[1]}</td><td>{cell}</td></tr></table>"
+            )
     html = (
         f"<html><head><title>{family[0]} Datasheet - {manuf}</title></head><body>"
         f"<h1>{family[0]} {polarity} Silicon Transistor</h1>"
@@ -198,6 +220,7 @@ def _transistor_html(rng: random.Random, family: list[str],
         f"designed for general purpose switching and amplification.{prose_ce}</p>"
         f"{comp_html}"
         f"<table>{''.join(rows)}</table>"
+        f"{pair_tbl}"
         f"</body></html>"
     )
 

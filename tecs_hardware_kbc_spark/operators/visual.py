@@ -111,7 +111,8 @@ def both_in_top_third_viz(page_height: float = DEFAULT_PAGE_HEIGHT,
 def synthetic_visual_coords(sentences: DataFrame,
                             line_height: float = 18.0,
                             col_width: float = 120.0,
-                            doc_fraction_mod: int = 2) -> DataFrame:
+                            doc_fraction_mod: int = 2,
+                            wrap_k: int = 2) -> DataFrame:
     """Deterministic bbox layout for a slice of the corpus (test/bench
     harness for the visual path; a real corpus gets coords from its PDF
     renderer). Docs whose url-hash % ``doc_fraction_mod`` == 0 get
@@ -120,10 +121,34 @@ def synthetic_visual_coords(sentences: DataFrame,
     Layout: tabular cells sit at y = table row, x = table column — cells
     in one row share a y-band (visually horz-aligned) and one column
     shares an x-band (vert-aligned), mirroring a rendered table; prose
-    sentences stack by reading position."""
+    sentences stack by reading position.
+
+    WRAPPED slice: half of the covered docs (url-hash % 2*mod == 0)
+    render NARROW tables (width <= 4 columns) in a wrapped two-column
+    float — each structural row occupies two lines, columns >= ``wrap_k``
+    on the second at x = (col % k) — so a structural row lands on
+    different y-bands and the visual predicates genuinely DISAGREE with
+    the structural proxy (the corpus's two-record |part|Tstg|part|Tstg|
+    quick-reference rows are the planted case: the cross-record pairs are
+    structurally aligned but visually rejected, while every same-column
+    and same-record pair keeps its band). The per-table width is one
+    window over (url, table_id) — harness-only cost."""
+    from pyspark.sql.window import Window
+
     covered = F.pmod(F.xxhash64("url"), F.lit(doc_fraction_mod)) == 0
-    y0 = F.coalesce(F.col("row"), F.col("position") % 40) * line_height
-    x0 = F.coalesce(F.col("col"), F.lit(0)) * col_width
+    wrapped_doc = (
+        F.pmod(F.xxhash64("url"), F.lit(2 * doc_fraction_mod)) == 0)
+    width = F.max("col").over(
+        Window.partitionBy("url", "table_id")) + 1
+    wrap = (wrapped_doc & F.col("table_id").isNotNull()
+            & (width <= 4))
+    line = F.when(
+        wrap, F.col("row") * 2 + (F.col("col") >= wrap_k).cast("int"))
+    y0 = F.coalesce(line, F.col("row"),
+                    F.col("position") % 40) * line_height
+    xcol = F.when(wrap, F.pmod(F.col("col"), F.lit(wrap_k))) \
+            .otherwise(F.coalesce(F.col("col"), F.lit(0)))
+    x0 = xcol * col_width
     return (
         sentences.filter(covered)
         .select(

@@ -150,9 +150,69 @@ def test_synthetic_coords_cover_a_slice_and_mirror_structure(spark):
     viz = synthetic_visual_coords(sents, doc_fraction_mod=2)
     urls = {r["url"] for r in viz.select("url").distinct().collect()}
     assert 0 < len(urls) < 8            # a slice, not all docs
+    wrapped = {
+        u for u in urls
+        if spark.sql(f"select pmod(xxhash64('{u}'), 4) = 0").first()[0]}
+    assert wrapped and wrapped < urls   # both sub-slices populated
     rows = viz.join(sents, ["url", "position"]).collect()
     by_row = {}
     for r in rows:
         by_row.setdefault((r["url"], r["row"]), set()).add(r["v_top"])
-    # same table row -> same y-band (visually horz-aligned layout)
-    assert all(len(v) == 1 for v in by_row.values())
+    for (u, _), bands in by_row.items():
+        if u in wrapped:
+            # narrow tables wrap: one structural row -> TWO y-bands
+            # (cols 0-1 on the first line, col 2 on the second)
+            assert len(bands) == 2
+        else:
+            # same table row -> same y-band (visually horz-aligned)
+            assert len(bands) == 1
+    # within a wrapped row, columns on the same line segment share a band
+    seg = {}
+    for r in rows:
+        if r["url"] in wrapped:
+            seg.setdefault((r["url"], r["row"], r["col"] >= 2),
+                           set()).add(r["v_top"])
+    assert all(len(v) == 1 for v in seg.values())
+
+
+def test_wrapped_layout_disagrees_at_corpus_scale(spark, tmp_path_factory):
+    """VERDICT r3 #7: on the planted two-record |part|Tstg|part|Tstg|
+    rows, visual-on must measurably CHANGE the stg_temp candidate set
+    (the wrapped rendering rejects the structurally-aligned cross-record
+    pairs), while both runs keep scoring >= 0.95 — the cross pairs are
+    entity-level duplicates, so only the candidate geometry moves."""
+    from tecs_hardware_kbc_spark.corpus import distributed_corpus
+    from tecs_hardware_kbc_spark.operators import mentions as M
+    from tecs_hardware_kbc_spark.operators.extract import parse_pages
+    from tecs_hardware_kbc_spark.pipeline import ingest, run_kbc
+
+    # 120 pages for a stable test slice; noise=False strips the planted
+    # 3% unreachable-gold recall ceiling so the 0.95 gates measure the
+    # engine, not the corpus's own noise floor
+    pages, gold, gaz = distributed_corpus(spark, 120, seed=11, noise=False)
+    sents = parse_pages(ingest(pages)).localCheckpoint()
+    viz = synthetic_visual_coords(sents).localCheckpoint()
+    grams = M.gram_space(sents, materialize=True)
+    parts = M.part_mentions(grams, gaz).localCheckpoint()
+    temps = M.temp_mentions(grams, "min").localCheckpoint()
+
+    c_off = stg_temp_candidates(parts, temps)
+    c_on = stg_temp_candidates(parts, temps, visual=viz)
+    n_off, n_on = c_off.count(), c_on.count()
+    assert n_on < n_off  # the wrap strictly prunes cross-record pairs
+
+    key = ["url", "p_position", "p_span", "a_position", "a_span"]
+    dropped = (c_off.select(*key)
+               .exceptAll(c_on.select(*key)).select("url").distinct())
+    # every dropped pair lies in a wrapped-slice doc
+    assert dropped.filter(
+        F.pmod(F.xxhash64("url"), F.lit(4)) != 0).count() == 0
+    assert dropped.count() > 0
+
+    for viz_arg in (None, viz):
+        res = run_kbc(spark, pages, gaz, gold, visual_coords=viz_arg,
+                      relations=["stg_temp_min", "stg_temp_max"])
+        for rel, s in res.scores.items():
+            t = s["test"]
+            assert t["precision"] >= 0.95 and t["recall"] >= 0.95, \
+                ("visual" if viz_arg is not None else "structural", rel, s)
