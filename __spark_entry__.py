@@ -675,8 +675,14 @@ def _synthetic_corpus(spark, n_pages: int = 60):
 # Recompute ONLY after an intentional semantic change, via
 # `python -c "import __spark_entry__ as E; E.print_golden_digests()"`.
 _GOLDEN_DIGESTS = {
+    # r4: kbc_sentences re-pinned twice — the planted two-record pair
+    # tables (+80 sentences) and the table-shares-its-first-page
+    # pagination fix (extract.parse_html). kbc_triples is UNCHANGED by
+    # both: the pair-table cross pairs are entity-level duplicates by
+    # design (corpus.py), and the page fix moves LF votes without moving
+    # any entity past its tuned threshold at 6-dp rounding.
     "kbc_triples": (356, 3021505895541361716),
-    "kbc_sentences": (2107, -7503261219992482400),
+    "kbc_sentences": (2187, 7923965561404068773),
 }
 
 
@@ -1121,6 +1127,214 @@ def media_augment(spark, sf):
     return (
         d.select("doc_id", F.posexplode(out).alias("i", "value"))
     )
+
+
+def _asof_pair_sql() -> str:
+    """DuckDB native ASOF JOIN replay of linking.asof_pair — the engines
+    implement the same semantics through different physical plans (window
+    over tagged union vs. DuckDB's asof operator), which is exactly the
+    point of the check."""
+    def byte(h: str, j: int) -> str:
+        return f"('0x' || substr({h}, {2 * j + 1}, 2))::int"
+
+    return f"""
+WITH d AS (SELECT 'doc://' || doc_id AS url
+           FROM documents WHERE doc_id < 120),
+n AS (SELECT url,
+        1 + {byte('md5(url)', 0)} % 3 AS n_gain,
+        1 + {byte('md5(url)', 1)} % 3 AS n_cur
+      FROM d),
+g AS (SELECT url,
+        20 * k + {byte('h', 0)} % 10 AS position,
+        (100 + {byte('h', 1)} * 37)::double / 10 AS gbp_khz
+      FROM (SELECT url, k, md5(url || ':gain:' || k) AS h
+            FROM n, unnest(generate_series(0, n_gain - 1)) AS t(k))),
+c AS (SELECT url,
+        20 * k + {byte('h', 0)} % 10 AS position,
+        (50 + {byte('h', 1)} * 13)::double / 10 AS supply_ua
+      FROM (SELECT url, k, md5(url || ':cur:' || k) AS h
+            FROM n, unnest(generate_series(0, n_cur - 1)) AS t(k)))
+SELECT g.url, g.position, g.gbp_khz, c.supply_ua
+FROM g ASOF JOIN c ON g.url = c.url AND g.position >= c.position
+"""
+
+
+@_q("kbc_asof_pair", _asof_pair_sql())
+def kbc_asof_pair(spark, sf):
+    """The opamp gain/supply-current reading-order pairing
+    (plot_opo.py:38-60) as the window-over-tagged-union as-of plan
+    (linking.asof_pair): each GBWP entity takes the latest supply-current
+    entity at-or-before its sentence position in the same doc. Fixture
+    entity tables are md5-derived from the documents table so DuckDB's
+    native ASOF JOIN replays the values."""
+    from tecs_hardware_kbc_spark.operators.linking import asof_pair
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+
+    def byte(h, j):
+        return F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int")
+
+    n = d.select(url.alias("url"),
+                 (1 + byte(F.md5(url), 0) % 3).alias("n_gain"),
+                 (1 + byte(F.md5(url), 1) % 3).alias("n_cur"))
+
+    def side(tag: str, n_col: str, val_col: str, base: int, mult: int):
+        h = F.md5(F.concat(F.col("url"), F.lit(f":{tag}:"), F.col("k")))
+        return (n.select(
+            "url",
+            F.explode(F.sequence(F.lit(0), F.col(n_col) - 1)).alias("k"))
+            .select(
+                "url",
+                (20 * F.col("k") + byte(h, 0) % 10).alias("position"),
+                ((base + byte(h, 1) * mult).cast("double") / 10)
+                .alias(val_col)))
+
+    gains = side("gain", "n_gain", "gbp_khz", 100, 37)
+    currents = side("cur", "n_cur", "supply_ua", 50, 13)
+    return asof_pair(gains, currents, keys=["url"], order_col="position",
+                     left_cols=["gbp_khz"], right_cols=["supply_ua"])
+
+
+def _conv_sql() -> str:
+    """DuckDB replay of the conv feature maps (convolve.py): the planted
+    thumbnail raster (figures.synthesize_thumbnail — integer index math)
+    convolved with the Sobel-x and center-surround kernels, zero border.
+    Tap order in each sum matches conv3x3's (dr, dc) loop exactly so the
+    float accumulation is bit-identical."""
+    def byte(j: int) -> str:
+        return f"('0x' || substr(h, {2 * j + 1}, 2))::int"
+
+    def tap(dr: int, dc: int) -> str:
+        return (f"(CASE WHEN r+({dr}) BETWEEN 0 AND 15 "
+                f"AND c+({dc}) BETWEEN 0 AND 15 "
+                f"THEN p[(r+({dr}))*16 + c+({dc}) + 1] ELSE 0.0 END)")
+
+    sx = " + ".join(
+        f"({k}) * {tap(dr, dc)}"
+        for dr, row in ((-1, (-1.0, 0.0, 1.0)), (0, (-2.0, 0.0, 2.0)),
+                        (1, (-1.0, 0.0, 1.0)))
+        for dc, k in zip((-1, 0, 1), row) if k != 0.0)
+    cs_rows = {-1: (-1.0, -1.0, -1.0), 0: (-1.0, 8.0, -1.0),
+               1: (-1.0, -1.0, -1.0)}
+    cs = " + ".join(
+        f"({k}) * {tap(dr, dc)}"
+        for dr in (-1, 0, 1) for dc, k in zip((-1, 0, 1), cs_rows[dr]))
+
+    return f"""
+WITH d AS (SELECT doc_id, 'doc://' || doc_id AS url
+           FROM documents WHERE doc_id < 40),
+par AS (SELECT doc_id,
+    {byte(0)} % 2 = 1 AS is_conn,
+    5 + {byte(5)} % 6 AS cx,
+    5 + {byte(6)} % 6 AS cy,
+    3 + {byte(7)} % 4 AS rad,
+    {byte(8)} % 2 = 0 AS horiz,
+    3 + {byte(9)} % 3 AS period,
+    {byte(10)} AS b10
+  FROM (SELECT doc_id, md5(url || ':fig:fig0.png') AS h FROM d)),
+px AS (SELECT doc_id, i,
+    CASE WHEN (CASE WHEN is_conn
+          THEN abs((i // 16 - cy) * (i // 16 - cy)
+                   + (i % 16 - cx) * (i % 16 - cx) - rad * rad) <= rad
+          ELSE ((CASE WHEN horiz THEN i // 16 ELSE i % 16 END)
+                + b10 % period) % period = 0 END)
+    THEN 0.9::double ELSE 0.1::double END AS v
+  FROM par, unnest(generate_series(0, 255)) AS t(i)),
+lst AS (SELECT doc_id, list(v ORDER BY i) AS p FROM px GROUP BY doc_id),
+o AS (SELECT doc_id, i, i // 16 AS r, i % 16 AS c, p
+      FROM lst, unnest(generate_series(0, 255)) AS t(i))
+SELECT doc_id, i, {sx} AS sx, {cs} AS cs
+FROM o
+"""
+
+
+@_q("media_conv", _conv_sql())
+def media_conv(spark, sf):
+    """Fixed-kernel conv feature maps (convolve.py — the ResNet stand-in's
+    first layer): Sobel-x and center-surround responses over the planted
+    class-dependent thumbnail raster, zero border, every map value
+    hash-checked against the DuckDB index-math replay."""
+    from tecs_hardware_kbc_spark.operators.convolve import (
+        CENTER_SURROUND, SOBEL_X, conv3x3)
+    from tecs_hardware_kbc_spark.operators.figures import (
+        synthesize_thumbnail)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    px = synthesize_thumbnail(url, F.lit("fig0.png"))
+    side = F.lit(16)
+    sx = conv3x3(px, side, side, SOBEL_X, border="zero")
+    cs = conv3x3(px, side, side, CENTER_SURROUND, border="zero")
+    zipped = F.zip_with(sx, cs,
+                        lambda a, b: F.struct(a.alias("sx"),
+                                              b.alias("cs")))
+    return (d.select("doc_id", F.posexplode(zipped).alias("i", "m"))
+            .select("doc_id", "i",
+                    F.col("m.sx").alias("sx"), F.col("m.cs").alias("cs")))
+
+
+_POLICY = "ShearX_L0.5@Equalize@Solarize_L0.55@Posterize_L0.75"
+
+
+def _augment_policy_sql() -> str:
+    """DuckDB replay of ``parse_policy(_POLICY)`` over the media_augment
+    pixel fixture: ShearX d=+0.15 (nearest = floor(x+0.5), 0-fill) ->
+    histogram equalization (cumulative-count window = the per-pixel
+    membership form of the CDF) -> solarize t=0.55 -> posterize 3 bits."""
+    return """
+WITH d AS (SELECT doc_id, 'doc://' || doc_id AS url
+           FROM documents WHERE doc_id < 60),
+px AS (SELECT doc_id, i,
+    (('0x' || substr(md5(url || ':px:' || (i // 16)),
+                     (i % 16) * 2 + 1, 2))::int) / 256.0 AS v
+  FROM d, unnest(generate_series(0, 23)) AS t(i)),
+shear AS (SELECT a.doc_id, a.i,
+    CASE WHEN a.sc BETWEEN 0 AND 5 THEN b.v ELSE 0.0 END AS v
+  FROM (SELECT doc_id, i, i // 6 AS r,
+               floor(i % 6 + 0.15 * (i // 6) + 0.5)::int AS sc FROM px) a
+  LEFT JOIN px b ON b.doc_id = a.doc_id AND b.i = a.r * 6 + a.sc
+                 AND a.sc BETWEEN 0 AND 5),
+eq AS (SELECT doc_id, i, v,
+    least(floor(v * 256), 255)::int AS q,
+    count(*) OVER (PARTITION BY doc_id ORDER BY least(floor(v * 256), 255)
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cdf,
+    min(least(floor(v * 256), 255)::int) OVER (PARTITION BY doc_id)
+      AS qmin,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM shear),
+eq2 AS (SELECT doc_id, i,
+    CASE WHEN n > cdfmin THEN (cdf - cdfmin)::double / (n - cdfmin)
+         ELSE v END AS v
+  FROM (SELECT *, sum(CASE WHEN q = qmin THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id) AS cdfmin FROM eq)),
+sol AS (SELECT doc_id, i,
+    CASE WHEN v < 0.55 THEN v ELSE 1.0 - v END AS v FROM eq2)
+SELECT doc_id, i,
+  floor(least(floor(v * 256), 255) / 32.0) * 32.0 / 256.0 AS value
+FROM sol
+"""
+
+
+@_q("media_augment_policy", _augment_policy_sql())
+def media_augment_policy(spark, sf):
+    """The policy-grammar compiler (augment.parse_policy — the
+    augment_policy.py:19-52 analog) driving four round-4 transforms
+    (shear_x, equalize, solarize, posterize) as ONE fused projection,
+    hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.augment import parse_policy
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(url, F.lit(":px:"),
+                               F.floor(i / 16).cast("int").cast("string"))),
+                ((i % 16) * 2 + 1).cast("int"), F.lit(2)),
+            16, 10).cast("double") / 256.0)
+    out, _, _ = parse_policy(_POLICY, pix, F.lit(6), F.lit(4))
+    return d.select("doc_id", F.posexplode(out).alias("i", "value"))
 
 
 def _lf_votes_sql() -> str:

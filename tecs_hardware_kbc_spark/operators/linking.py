@@ -176,3 +176,47 @@ def entities_to_triples(entities: DataFrame) -> DataFrame:
         F.col("value").alias("obj"),
         "prob",
     ).dropDuplicates(["subj", "pred", "obj"])
+
+
+def asof_pair(left: DataFrame, right: DataFrame, keys: list[str],
+              order_col: str, left_cols: list[str],
+              right_cols: list[str]) -> DataFrame:
+    """As-of pairing: each ``left`` row joined with the LATEST ``right``
+    row at-or-before its ``order_col`` within the same ``keys`` group —
+    the reading-order gain/supply-current matching of the reference's
+    opamp analysis (``scripts/plot_opo.py:38-60`` walks both per-doc
+    lists in order; the as-of form generalizes it to arbitrary
+    interleavings).
+
+    Plan: window-over-tagged-union — union both sides (tag 0 = right,
+    1 = left; at equal positions the right row sorts first, so an
+    exactly-aligned right row IS visible to the left row), one window
+    carrying ``last(value, ignorenulls)`` forward, keep the left rows
+    that found a partner. ONE shuffle on ``keys`` and no range-join
+    row explosion — at 100 TB this is the only as-of shape that holds
+    up (a theta join by position range is quadratic per doc)."""
+    from pyspark.sql.window import Window
+
+    lt = left.select(
+        *keys, order_col, *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_cols],
+        F.lit(1).alias("_tag"))
+    rt = right.select(
+        *keys, order_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols],
+        *right_cols,
+        F.lit(0).alias("_tag"))
+    w = (Window.partitionBy(*keys).orderBy(order_col, "_tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = lt.unionByName(rt).select(
+        *keys, order_col, *left_cols, "_tag",
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in right_cols])
+    out = filled.filter(F.col("_tag") == 1).drop("_tag")
+    cond = None
+    for c in right_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else cond & nn
+    return out.filter(cond) if cond is not None else out
