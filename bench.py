@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "sim_topk",
     "kbc_lingual_tags",
     "kbc_figures",
+    "kbc_asof_pair",
+    "media_augment_policy",
+    "media_conv",
 ]
 
 
@@ -150,8 +153,11 @@ def run_datapath(cpus: int, pages: int, repeats: int = 5) -> dict:
         grams = M.explode_gram_arrays(compact)
         row = X.build_row_ngrams(grams)
         col = X.build_col_ngrams(grams)
-        parts = M.part_mentions(grams, gaz)
-        temps = M.temp_mentions(grams, "min")
+        # matchers explode only their pre-gated gram subsets
+        parts = M.part_mentions(
+            M.gated_grams(compact, M.pregate_part), gaz)
+        temps = M.temp_mentions(
+            M.gated_grams(compact, M.pregate_numeric(2)), "min")
         cands = C2.stg_temp_candidates(parts, temps)
         sc = build_sentence_context(sentences, grams, compact=compact)
         scored = apply_lfs(
@@ -220,8 +226,10 @@ def run_stage_profile(cpus: int, pages: int, repeats: int = 3) -> dict:
         grams = M.explode_gram_arrays(compact)
         row = stage("row_ngrams", lambda: X.build_row_ngrams(grams))
         col = stage("col_ngrams", lambda: X.build_col_ngrams(grams))
-        parts = stage("part_mentions", lambda: M.part_mentions(grams, gaz))
-        temps = stage("temp_mentions", lambda: M.temp_mentions(grams, "min"))
+        parts = stage("part_mentions", lambda: M.part_mentions(
+            M.gated_grams(compact, M.pregate_part), gaz))
+        temps = stage("temp_mentions", lambda: M.temp_mentions(
+            M.gated_grams(compact, M.pregate_numeric(2)), "min"))
         sc = stage("sentence_ctx",
                    lambda: build_sentence_context(sentences, grams,
                                                   compact=compact))
@@ -282,8 +290,25 @@ def run_scaling() -> None:
     strong_8 = probe(8, n_pages)
     strong_32 = probe(32, n_pages)
     weak_8 = probe(8, n_pages // 4)
-    st_8 = stages(8, n_pages)
-    st_32 = stages(32, n_pages)
+    # Host clock windows swing per-stage wall by up to 2x BETWEEN process
+    # launches (in both directions — the same stage has measured both
+    # negative and positive scaling minutes apart), so one process per
+    # core count is not evidence. Alternate the levels and keep the
+    # per-stage MIN across launches: each level then reports its best
+    # window and the 8c/32c comparison is window-fair.
+    def min_merge(runs: list[dict]) -> dict:
+        out = dict(runs[0])
+        out["stages"] = {
+            k: min(r["stages"][k] for r in runs)
+            for k in runs[0]["stages"]}
+        return out
+
+    st_32_runs, st_8_runs = [], []
+    for _ in range(2):
+        st_32_runs.append(stages(32, n_pages))
+        st_8_runs.append(stages(8, n_pages))
+    st_8 = min_merge(st_8_runs)
+    st_32 = min_merge(st_32_runs)
     suite_8 = suite(8)
     suite_32 = suite(32)
 
@@ -338,7 +363,10 @@ entities, no intermediate stores.
 ## Per-stage strong scaling (isolated stage timings, best-of-3 warm)
 
 Each datapath stage materialized in isolation at both core counts; the
-efficiency column is (8-core sec) / (32-core sec) / 4.
+efficiency column is (8-core sec) / (32-core sec) / 4. Each level's
+column is the per-stage MIN over two alternating process launches —
+host clock windows swing a stage's wall up to 2x between launches, so
+single-launch stage tables are not comparable across levels.
 
 | stage | 8c sec | 32c sec | eff |
 |---|---|---|---|
@@ -373,6 +401,15 @@ efficiency column is (8-core sec) / (32-core sec) / 4.
   cached once per sentence, not once per gram; 1.75x end-to-end), and the
   JVM young generation is pinned to heap/2 (minor GC was measured at 40%
   of wall clock at 32 cores before; 28s -> 21s after).
+* Round-4 changes: part_mentions routes trigger-free spans around the
+  expansion UDF + vocabulary join (its strong scaling flipped from
+  NEGATIVE — 5.1s@8c vs 7.7s@32c in r3 — to positive), and
+  build_sentence_context derives per-sentence gram lists from the compact
+  checkpoint instead of re-shuffling the exploded rows (6.3s -> 2.6s at
+  32c in the stage profile). A lean-gram variant (span strings dropped
+  from the checkpoint, rebuilt per consumer) measured 2.6x faster on the
+  checkpoint BUILD but a net ~1.6x end-to-end LOSS on the fused datapath
+  in a same-window A/B, and ships opt-in only.
 
 Full JSON:
 ```json

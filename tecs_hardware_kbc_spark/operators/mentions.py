@@ -137,6 +137,43 @@ def explode_gram_arrays(arr: DataFrame, lean: bool = False) -> DataFrame:
     )
 
 
+def pregate_part(g, span):
+    """Superset of part_mentions' first row filter: 1..3-grams (and
+    derived n==0 grams) whose span carries a digit AND a letter."""
+    return ((g["n"] <= 3)
+            & F.regexp_like(span, F.lit("[0-9]"))
+            & F.regexp_like(span, F.lit("[A-Za-z]")))
+
+
+def pregate_numeric(max_n: int):
+    """Superset of the numeric matchers' first filters (temp / ce_v_max /
+    gain / current all demand a digit in the span)."""
+    def gate(g, span):
+        return (g["n"] <= max_n) & F.regexp_like(span, F.lit("[0-9]"))
+    return gate
+
+
+def pregate_polarity(g, span):
+    """Superset of POLARITY_RGX (NPN/PNP unigrams)."""
+    return (g["n"] <= 1) & F.regexp_like(span, F.lit("(?i)^[NP]"))
+
+
+def gated_grams(compact: DataFrame, gate, lean: bool = False) -> DataFrame:
+    """Exploded gram view that filters INSIDE the compact arrays before
+    exploding: only grams passing ``gate(struct, span)`` are ever
+    materialized as rows. The explode is where the 8 context columns get
+    duplicated per gram — the memory-bus cost of reading the gram table —
+    so a matcher whose pre-gate keeps ~5% of grams skips ~95% of that row
+    traffic. Each gate is a strict SUPERSET of its matcher's own first
+    filter (which still runs), so results are identical (pinned by
+    test_mentions equivalence)."""
+    span_of = (lambda g: gram_span(g, F.col("words"))) if lean \
+        else (lambda g: g["span"])
+    arr = compact.withColumn(
+        "_grams", F.filter("_grams", lambda g: gate(g, span_of(g))))
+    return explode_gram_arrays(arr, lean=lean)
+
+
 def gram_space(sentences: DataFrame, materialize: bool = False) -> DataFrame:
     """The FULL exploded gram table (computed once per corpus and shared by
     every matcher and context builder — each then applies a cheap ``n``

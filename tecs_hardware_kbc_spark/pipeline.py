@@ -107,16 +107,29 @@ def gold_entities(gold: DataFrame) -> DataFrame:
 
 def extract_mentions(grams: DataFrame, sentences: DataFrame,
                      gazetteer: DataFrame,
-                     ctx: dict[str, DataFrame]) -> dict[str, DataFrame]:
+                     ctx: dict[str, DataFrame],
+                     compact: DataFrame | None = None) -> dict[str, DataFrame]:
+    # With the compact gram table available, each matcher explodes only
+    # its pre-gated gram subset (mentions.gated_grams) — the explode is
+    # where context columns get duplicated per gram, so gating before it
+    # skips ~95% of that row traffic per matcher. Gates are supersets of
+    # the matchers' own first filters; results are identical.
+    if compact is None:
+        gp = g1 = g2 = gpol = grams
+    else:
+        gp = M.gated_grams(compact, M.pregate_part)
+        g1 = M.gated_grams(compact, M.pregate_numeric(1))
+        g2 = M.gated_grams(compact, M.pregate_numeric(2))
+        gpol = M.gated_grams(compact, M.pregate_polarity)
     return {
-        "part": M.part_mentions(grams, gazetteer),
-        "stg_temp_min": M.temp_mentions(grams, "min"),
-        "stg_temp_max": M.temp_mentions(grams, "max"),
-        "polarity": M.polarity_mentions(grams, sentences),
-        "ce_v_max": M.ce_v_max_mentions(grams, sentences, ctx["row"]),
-        "gain": M.gain_mentions(grams, sentences, ctx["row"], ctx["row2"],
+        "part": M.part_mentions(gp, gazetteer),
+        "stg_temp_min": M.temp_mentions(g2, "min"),
+        "stg_temp_max": M.temp_mentions(g2, "max"),
+        "polarity": M.polarity_mentions(gpol, sentences),
+        "ce_v_max": M.ce_v_max_mentions(g1, sentences, ctx["row"]),
+        "gain": M.gain_mentions(g1, sentences, ctx["row"], ctx["row2"],
                                 ctx["col"]),
-        "current": M.current_mentions(grams, sentences, ctx["row"],
+        "current": M.current_mentions(g2, sentences, ctx["row"],
                                       ctx["row5"], ctx["col"]),
     }
 
@@ -255,7 +268,9 @@ def run_kbc(
         sent_ctx_f = pool.submit(
             ckpt, build_sentence_context(sentences, grams,
                                          compact=grams_compact))
-        parts_f = pool.submit(ckpt, M.part_mentions(grams, gazetteer))
+        parts_f = pool.submit(
+            ckpt, M.part_mentions(
+                M.gated_grams(grams_compact, M.pregate_part), gazetteer))
         comps_f = (
             pool.submit(
                 lambda: connected_components(doc_alias_edges(clean)).persist())
@@ -295,7 +310,8 @@ def run_kbc(
         if ncell_f is not None:
             ctx["ncell"] = ncell_f.result()
         sent_ctx = sent_ctx_f.result()
-        mentions = extract_mentions(grams, sentences, gazetteer, ctx)
+        mentions = extract_mentions(grams, sentences, gazetteer, ctx,
+                                    compact=grams_compact)
         mentions["part"] = parts_f.result()
         components = comps_f.result() if comps_f else None
         extra = {k: f.result() for k, f in extra_f.items()} if extra_f else {}
