@@ -855,6 +855,49 @@ def kbc_lingual_tags(spark, sf):
     )
 
 
+def _dep_tags_sql() -> str:
+    """DuckDB replay of the dependency-lite head-rule tagger (lingual.py:
+    dep_col) over the same tokenization as kbc_lingual_tags."""
+    from tecs_hardware_kbc_spark.operators.lingual import (dep_sql,
+                                                           lingual_sql)
+    words = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    pos, _ = lingual_sql("words")
+    parent, label = dep_sql("words")
+    return f"""
+WITH d AS (SELECT doc_id, {words} AS words FROM documents WHERE doc_id < 60),
+tagged AS (SELECT doc_id, words, {pos} AS pos FROM d)
+SELECT doc_id, i - 1 AS ti, words[i] AS word,
+       ({parent})::int AS dep_parent, {label} AS dep_label
+FROM tagged, unnest(generate_series(1, len(words))) AS t(i)
+"""
+
+
+@_q("kbc_dep_tags", _dep_tags_sql())
+def kbc_dep_tags(spark, sf):
+    """Dependency-lite annotations (the dep_parents/dep_labels leg of the
+    reference's sentence schema, transistor_spaces.py:206-224): a
+    deterministic head-rule tagger over the POS-lite tags — last-nominal
+    root, forward attachment, closed-class labels — with every
+    parent/label hash-checked vs the DuckDB replay. A spaCy-equipped
+    deployment would swap the rule tagger for model output in the same
+    columns (see COVERAGE.md P9)."""
+    from tecs_hardware_kbc_spark.operators.lingual import dep_col
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    words = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    dep = dep_col(words)
+    return (
+        d.select("doc_id", words.alias("words"), dep.alias("dep"))
+        .select("doc_id", F.posexplode(
+            F.arrays_zip(F.col("words").alias("word"),
+                         F.col("dep.dep_parents").alias("dep_parent"),
+                         F.col("dep.dep_labels").alias("dep_label")))
+            .alias("ti", "z"))
+        .select("doc_id", "ti", F.col("z.word").alias("word"),
+                F.col("z.dep_parent").alias("dep_parent"),
+                F.col("z.dep_label").alias("dep_label"))
+    )
+
+
 def _synth_mention_cols(kind: str) -> str:
     """(SQL) deterministic mention attributes from md5(doc_id:kind:i)."""
     h = f"md5(doc_id::varchar || ':{kind}:' || i::varchar)"

@@ -92,6 +92,124 @@ def with_lingual(sentences: DataFrame, words_col: str = "words") -> DataFrame:
                     .withColumn("ner_tags", ner_tag_col(w))
 
 
+# --- dependency-lite (dep_parents / dep_labels) -------------------------
+#
+# The reference's sentence schema carries spaCy `dep_parents`/`dep_labels`
+# per token (transistor_spaces.py:206-224). No reference LF consumes a
+# dependency arc, so this is schema parity, not LF-critical behavior; the
+# tagger is a deterministic head-rule stand-in over the POS-lite tags
+# (documented contract, not spaCy-identical):
+#
+# - the ROOT is the LAST nominal (NOUN/PROPN) token — datasheet NPs are
+#   head-final ("BC546 NPN Silicon Transistor" -> "Transistor") — or
+#   token 0 when the sentence has no nominal;
+# - DET -> next nominal (det), ADP -> next nominal (case),
+#   CCONJ -> next nominal (cc), NUM -> next nominal (nummod),
+#   nominals -> next nominal (compound), SYM -> next NUM (sym),
+#   PUNCT -> root (punct); every "next" falls back to the root.
+#
+# Parents always point forward to a nominal (or to the root), so the
+# result is a tree by construction. Everything is column expressions over
+# the words array; the `kbc_dep_tags` driver entry replays both streams
+# in SQL.
+
+NOMINAL_TAGS = ("NOUN", "PROPN")
+
+
+def _dep_let(val: Column, body) -> Column:
+    """Bind a computed value once per row (augment._let — Spark HOF
+    lambdas re-evaluate captured subexpressions per array element)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def dep_col(words: Column | None = None) -> Column:
+    """``struct<dep_parents array<int>, dep_labels array<string>>`` for a
+    sentence's words: 0-based head indices (-1 for the root) + labels."""
+    words = words if words is not None else F.col("words")
+    pos = pos_tag_col(words)
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+
+    def build(p):
+        def tag(j):
+            return F.element_at(p, (j + 1).cast("int"))
+
+        noms = F.filter(idx, lambda j: tag(j).isin(*NOMINAL_TAGS))
+        nums = F.filter(idx, lambda j: tag(j) == "NUM")
+        env = F.struct(
+            p.alias("pos"), noms.alias("noms"), nums.alias("nums"),
+            F.coalesce(F.array_max(noms), F.lit(0)).alias("root"))
+
+        def out(e):
+            def etag(i):
+                return F.element_at(e["pos"], (i + 1).cast("int"))
+
+            def nxt(arr, i):
+                return F.array_min(F.filter(arr, lambda j: j > i))
+
+            parent = F.transform(idx, lambda i: F.when(
+                i == e["root"], F.lit(-1)).when(
+                etag(i) == "PUNCT", e["root"]).when(
+                etag(i) == "SYM",
+                F.coalesce(nxt(e["nums"], i), e["root"])).otherwise(
+                F.coalesce(nxt(e["noms"], i), e["root"])).cast("int"))
+            label = F.transform(idx, lambda i: F.when(
+                i == e["root"], F.lit("root")).when(
+                etag(i) == "PUNCT", F.lit("punct")).when(
+                etag(i) == "SYM", F.lit("sym")).when(
+                etag(i) == "DET", F.lit("det")).when(
+                etag(i) == "ADP", F.lit("case")).when(
+                etag(i) == "CCONJ", F.lit("cc")).when(
+                etag(i) == "NUM", F.lit("nummod")).otherwise(
+                F.lit("compound")))
+            return F.struct(parent.alias("dep_parents"),
+                            label.alias("dep_labels"))
+
+        return _dep_let(env, out)
+
+    return _dep_let(pos, build)
+
+
+def with_dependencies(sentences: DataFrame,
+                      words_col: str = "words") -> DataFrame:
+    """Attach ``dep_parents`` / ``dep_labels`` arrays — the dependency leg
+    of the reference's sentence schema, as a zero-shuffle map."""
+    d = dep_col(F.col(words_col))
+    return (sentences.withColumn("_dep", d)
+            .withColumn("dep_parents", F.col("_dep.dep_parents"))
+            .withColumn("dep_labels", F.col("_dep.dep_labels"))
+            .drop("_dep"))
+
+
+def dep_sql(words_sql: str) -> tuple[str, str]:
+    """(parent_expr, label_expr) over 1-BASED token index ``i`` for the
+    DuckDB replay — callers unnest ``generate_series(1, len(words))`` and
+    must have columns ``pos`` (the lingual_sql pos list) in scope.
+    Parents are emitted 0-based (-1 root) to match dep_col."""
+    noms = ("list_filter(generate_series(1, len(pos)), "
+            "j -> list_extract(pos, j) IN ('NOUN', 'PROPN'))")
+    nums = ("list_filter(generate_series(1, len(pos)), "
+            "j -> list_extract(pos, j) = 'NUM')")
+    root = f"coalesce(list_aggregate({noms}, 'max'), 1)"
+    nxt_nom = f"list_aggregate(list_filter({noms}, j -> j > i), 'min')"
+    nxt_num = f"list_aggregate(list_filter({nums}, j -> j > i), 'min')"
+    parent = f"""CASE
+        WHEN i = {root} THEN -1
+        WHEN list_extract(pos, i) = 'PUNCT' THEN {root} - 1
+        WHEN list_extract(pos, i) = 'SYM'
+            THEN coalesce({nxt_num}, {root}) - 1
+        ELSE coalesce({nxt_nom}, {root}) - 1 END"""
+    label = f"""CASE
+        WHEN i = {root} THEN 'root'
+        WHEN list_extract(pos, i) = 'PUNCT' THEN 'punct'
+        WHEN list_extract(pos, i) = 'SYM' THEN 'sym'
+        WHEN list_extract(pos, i) = 'DET' THEN 'det'
+        WHEN list_extract(pos, i) = 'ADP' THEN 'case'
+        WHEN list_extract(pos, i) = 'CCONJ' THEN 'cc'
+        WHEN list_extract(pos, i) = 'NUM' THEN 'nummod'
+        ELSE 'compound' END"""
+    return parent, label
+
+
 def count_tag(tags: Column, tag: str) -> Column:
     """How many tokens carry ``tag`` (e.g. the LF_too_many_numbers family
     counts ``'number'`` ner tags along a row/column line)."""
