@@ -855,6 +855,88 @@ def kbc_lingual_tags(spark, sf):
     )
 
 
+def _sample_sql() -> str:
+    """DuckDB replay of sample_by_hash + split_by_hash (sampling.py):
+    md5-uniform keep at 0.3, then 2/1/1 train/val/test boundaries (0.5,
+    0.75 — exact binary fractions, no FP boundary drift)."""
+    def u(salt: str) -> str:
+        return (f"(('0x' || substr(md5(doc_id::varchar || ':{salt}'), "
+                f"1, 8))::ubigint / 4294967296.0)")
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN {u('split')} < 0.5 THEN 'train'
+            WHEN {u('split')} < 0.75 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE {u('sample')} < 0.3
+"""
+
+
+@_q("doc_sample", _sample_sql())
+def doc_sample(spark, sf):
+    """Deterministic corpus selection (sampling.py): hash-Bernoulli
+    sample at fraction 0.3 + disjoint/exhaustive 2/1/1 train-val-test
+    split labels, both md5-derived (reproducible across runs, engines
+    and partitionings — unlike rand()-based sampling) and hash-checked
+    vs the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.sampling import (
+        sample_by_hash, split_by_hash)
+    d = _t(spark, sf, "documents")
+    out = split_by_hash(sample_by_hash(d, "doc_id", 0.3), "doc_id",
+                        {"train": 2, "val": 1, "test": 1})
+    return out.select("doc_id", "split")
+
+
+_PACK_BUDGET, _PACK_SHARDS = 128, 8
+
+
+def _pack_sql() -> str:
+    """DuckDB replay of pack_sequences (sampling.py): per-shard running
+    token sum over the deterministic (hash, key) order, documents laid
+    end-to-end, one row per overlapped budget-sized sequence."""
+    b, s = _PACK_BUDGET, _PACK_SHARDS
+    return f"""
+WITH d AS (SELECT doc_id,
+        len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+            ' ')) AS toks
+      FROM documents),
+t AS (SELECT doc_id, toks,
+        (('0x' || substr(md5(doc_id::varchar), 1, 8))::ubigint % {s})
+          AS shard,
+        (('0x' || substr(md5(doc_id::varchar || ':pack'), 1, 8))::ubigint
+          / 4294967296.0) AS u
+      FROM d WHERE toks > 0),
+tape AS (SELECT doc_id, toks, shard,
+        sum(toks) OVER (PARTITION BY shard ORDER BY u, doc_id)::bigint
+          AS e
+      FROM t),
+spans AS (SELECT doc_id, shard, (e - toks)::bigint AS st, e FROM tape)
+SELECT doc_id, shard::int AS shard, seq::int AS seq,
+       st AS doc_start, e AS doc_end,
+       (greatest(seq * {b}, st) - seq * {b})::int AS seq_off,
+       (least(seq * {b} + {b}, e) - greatest(seq * {b}, st))::int
+         AS slice_len
+FROM spans, unnest(generate_series(st // {b}, (e - 1) // {b})) AS g(seq)
+"""
+
+
+@_q("doc_pack", _pack_sql())
+def doc_pack(spark, sf):
+    """Concat-and-chunk sequence packing (sampling.pack_sequences — the
+    standard LLM-pretraining packing): documents sharded by key hash,
+    deterministically shuffled within the shard, laid end-to-end and cut
+    every 128 tokens; one row per (document, overlapped sequence), every
+    value hash-checked vs the DuckDB window replay."""
+    from tecs_hardware_kbc_spark.operators.sampling import pack_sequences
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "))
+    return pack_sequences(
+        d.select("doc_id", toks.alias("toks")), "doc_id", "toks",
+        _PACK_BUDGET, shards=_PACK_SHARDS)
+
+
 def _dep_tags_sql() -> str:
     """DuckDB replay of the dependency-lite head-rule tagger (lingual.py:
     dep_col) over the same tokenization as kbc_lingual_tags."""

@@ -1,0 +1,129 @@
+"""Deterministic sampling, splitting and sequence packing.
+
+The three data-selection operators every large-scale training pipeline
+needs between "corpus" and "batches", built on the engine's
+cross-engine-stable hash primitive (first 4 md5 bytes / 2^32 — the same
+uniform the augment policy coins use) instead of ``rand()``:
+reproducible across runs, engines and partitionings, replayable in ANSI
+SQL (the ``doc_sample`` / ``doc_pack`` driver entries hash-check them
+against DuckDB), and stable under re-execution — a retried task samples
+the same rows, which Bernoulli ``rand()`` does not guarantee.
+
+* ``sample_by_hash`` — keep a deterministic ``fraction`` of keys.
+* ``split_by_hash`` — disjoint, exhaustive train/val/test labels from
+  cumulative weight boundaries (the doc-hash generalization of
+  scoring.is_dev_doc's 50/50 split).
+* ``pack_sequences`` — concat-and-chunk sequence packing: shard the
+  corpus by key hash, order each shard deterministically, lay documents
+  end-to-end on a per-shard token tape and cut it every ``budget``
+  tokens. One window per shard (running token sum), one explode (a doc
+  emits one row per sequence it overlaps) — no driver loop, no
+  quadratic bin search. At 100 TB the shard count bounds the window
+  partition size; packing is embarrassingly parallel across shards and
+  sequence ids are globally unique as (shard, seq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+
+def hash_u(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): first 4 md5 bytes of
+    ``key || ':' || salt`` over 2^32 (DuckDB:
+    ('0x'||substr(md5(..),1,8))::ubigint / 4294967296.0)."""
+    return (F.conv(F.substring(F.md5(F.concat(key.cast("string"),
+                                              F.lit(":" + salt))), 1, 8),
+                   16, 10).cast("double") / F.lit(4294967296.0))
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float,
+                   salt: str = "sample") -> DataFrame:
+    """Keep rows whose key-hash uniform falls below ``fraction`` —
+    deterministic Bernoulli-by-key sampling (all rows of one key are
+    kept or dropped together; change ``salt`` for an independent
+    draw)."""
+    return df.filter(hash_u(F.col(key), salt) < F.lit(float(fraction)))
+
+
+def split_by_hash(df: DataFrame, key: str,
+                  weights: dict[str, float],
+                  salt: str = "split",
+                  col_name: str = "split") -> DataFrame:
+    """Label every row with a split name by cumulative weight boundaries
+    over the key-hash uniform — disjoint and exhaustive by construction
+    (weights are normalized; the last split absorbs the rounding tail).
+    E.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    u = hash_u(F.col(key), salt)
+    names = list(weights)
+    expr = F.lit(names[-1])  # tail absorbs FP rounding
+    acc = 0.0
+    rev: list[tuple[str, float]] = []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        rev.append((name, acc))
+    for name, bound in reversed(rev):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(col_name, expr)
+
+
+def pack_sequences(df: DataFrame, key: str, token_col: str,
+                   budget: int, shards: int = 64,
+                   salt: str = "pack") -> DataFrame:
+    """Concat-and-chunk packing: assign every document the training
+    sequence(s) it occupies when the shard's documents are laid
+    end-to-end and cut every ``budget`` tokens (the standard LLM
+    pretraining packing — documents ARE split across sequence
+    boundaries; no padding, no bin-search).
+
+    Output: one row per (document, overlapped sequence) with
+      ``shard``    — hash(key) % shards (the parallel unit),
+      ``seq``      — 0-based sequence ordinal within the shard,
+      ``doc_start``/``doc_end`` — the document's token interval
+                     [start, end) on the shard tape,
+      ``seq_off``  — where this document's slice begins inside the
+                     sequence, ``slice_len`` — its length there.
+
+    Within a shard documents are ordered by (hash uniform, key) — a
+    deterministic shuffle, so adjacent documents are unrelated. The
+    running token sum is ONE window per shard; a shard's tape length is
+    corpus_tokens/shards, so ``shards`` sizes the window partitions.
+    Every token of every document lands in exactly one (seq, offset) —
+    pinned by tests; the ``doc_pack`` driver entry replays the whole map
+    in SQL."""
+    k = F.col(key)
+    toks = F.col(token_col).cast("long")
+    shard = F.pmod(F.conv(F.substring(F.md5(k.cast("string")), 1, 8),
+                          16, 10).cast("long"), F.lit(shards)).cast("int")
+    u = hash_u(k, salt)
+    w = (Window.partitionBy("shard").orderBy("_u", key)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tape = (
+        df.select(k.alias(key), toks.alias("_toks"),
+                  shard.alias("shard"), u.alias("_u"))
+        .filter(F.col("_toks") > 0)
+        .withColumn("_end", F.sum("_toks").over(w))
+        .withColumn("_start", F.col("_end") - F.col("_toks"))
+    )
+    first_seq = F.floor(F.col("_start") / budget)
+    last_seq = F.floor((F.col("_end") - 1) / budget)
+    out = tape.select(
+        key, "shard",
+        F.col("_start").alias("doc_start"),
+        F.col("_end").alias("doc_end"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq"),
+    )
+    seq_start = F.col("seq") * budget
+    slice_start = F.greatest(seq_start, F.col("doc_start"))
+    slice_end = F.least(seq_start + budget, F.col("doc_end"))
+    return out.select(
+        key, "shard", F.col("seq").cast("int").alias("seq"),
+        "doc_start", "doc_end",
+        (slice_start - seq_start).cast("int").alias("seq_off"),
+        (slice_end - slice_start).cast("int").alias("slice_len"),
+    )
