@@ -683,6 +683,9 @@ _GOLDEN_DIGESTS = {
     # any entity past its tuned threshold at 6-dp rounding.
     "kbc_triples": (356, 3021505895541361716),
     "kbc_sentences": (2187, 7923965561404068773),
+    # r5: pinned (url, ok) content of the extract invariant — all-true by
+    # construction; drift means the corpus or the extractor changed
+    "kbc_extract_invariant": (72, -3449246091241218228),
 }
 
 
@@ -746,10 +749,16 @@ def print_golden_digests() -> None:
                                               lambda x: x.cast("string")),
                                   " ")) \
          .fillna({"table_id": -1, "row": -1, "col": -1, "tag": ""})
+    from tecs_hardware_kbc_spark.operators.extract import extract_text
+    import pyspark.sql.types as T
+    inv_udf = F.pandas_udf(lambda c: c.map(extract_text), T.StringType())
+    inv = pages.select(
+        "url", (inv_udf(F.col("html")) == F.col("text")).alias("ok"))
     for name, df, cols in [
         ("kbc_triples", run_kbc(spark, pages, gaz, gold).triples,
          _triple_digest_cols()),
         ("kbc_sentences", s, sorted(s.columns)),
+        ("kbc_extract_invariant", inv, ["url", "ok"]),
     ]:
         row = df.select(F.bit_xor(F.xxhash64(*cols)).alias("d"),
                         F.count("*").alias("n")).collect()[0]
@@ -1627,13 +1636,17 @@ def dedup_components(spark, sf):
 @_q("kbc_extract_invariant")
 def kbc_extract_invariant(spark, sf):
     """One row per url with ok=true iff re-extracted text == stored text
-    (must be all-true; violations would also fail pytest)."""
+    (must be all-true; violations would also fail pytest). r5: the url+ok
+    content is digest-pinned like the other rows-only entries, so a
+    corpus or extractor drift fails the entry loudly."""
     from tecs_hardware_kbc_spark.operators.extract import extract_text
     import pyspark.sql.types as T
     pages, _, _ = _synthetic_corpus(spark)
     udf = F.pandas_udf(lambda s: s.map(extract_text), T.StringType())
-    return pages.select(
+    out = pages.select(
         "url", (udf(F.col("html")) == F.col("text")).alias("ok"))
+    _check_golden("kbc_extract_invariant", out, ["url", "ok"])
+    return out
 
 
 @_q("sim_lsh_topk", _sim_lsh_topk_sql())

@@ -257,8 +257,12 @@ def pad(pixels: Column, w: Column, h: Column, p: Column,
         raise ValueError(f"unsupported padding mode {mode!r}")
 
     def refl(x, n):
-        m = F.pmod(F.abs(x), 2 * n - 2)
-        return F.when(m < n, m).otherwise(2 * n - 2 - m)
+        # period 2n-2 is 0 when n == 1 (pmod-by-zero -> NULL, or an ANSI
+        # divide-by-zero): a 1-pixel dimension has only index 0 to mirror,
+        # so short-circuit to 0 and keep the modulus positive regardless
+        m = F.pmod(F.abs(x), F.greatest(2 * n - 2, F.lit(1)))
+        return F.when(n <= 1, F.lit(0)) \
+                .otherwise(F.when(m < n, m).otherwise(2 * n - 2 - m))
 
     return _let(pixels, lambda px: F.transform(
         _idx(w + 2 * p, h + 2 * p),
@@ -496,6 +500,15 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
         elif name == "Resize":
             if size is None:
                 raise ValueError("Resize needs an S<size> setting")
+            if prob < 1.0:
+                # same hazard RandomCrop guards against: the final prob
+                # gate picks per-row between a size*size output and the
+                # original-size input, while the returned dims are fixed
+                # (size, size) — skipped rows would carry pixel arrays
+                # disagreeing with the declared width/height
+                raise ValueError(
+                    "probabilistic Resize would make output dims "
+                    "data-dependent")
             out = resize(px, cw, ch, F.lit(size), F.lit(size))
             ow, oh = F.lit(size), F.lit(size)
         elif name == "Rotate":

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 
 from tecs_hardware_kbc_spark.operators.context import lower_arr
 
@@ -191,32 +192,38 @@ def asof_pair(left: DataFrame, right: DataFrame, keys: list[str],
     Plan: window-over-tagged-union — union both sides (tag 0 = right,
     1 = left; at equal positions the right row sorts first, so an
     exactly-aligned right row IS visible to the left row), one window
-    carrying ``last(value, ignorenulls)`` forward, keep the left rows
-    that found a partner. ONE shuffle on ``keys`` and no range-join
-    row explosion — at 100 TB this is the only as-of shape that holds
-    up (a theta join by position range is quadratic per doc)."""
+    carrying the latest right ROW forward, keep the left rows that
+    found a partner. The right columns travel as ONE struct under a
+    single ``last(ignorenulls)`` so every carried value comes from the
+    same right row (carrying columns independently could stitch a
+    partner out of two right rows when one holds NULLs), and the
+    struct itself is the window's final sort key so equal-position
+    right rows resolve deterministically. ONE shuffle on ``keys`` and
+    no range-join row explosion — at 100 TB this is the only as-of
+    shape that holds up (a theta join by position range is quadratic
+    per doc)."""
     from pyspark.sql.window import Window
 
+    r_struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols])
     lt = left.select(
         *keys, order_col, *left_cols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in right_cols],
+        F.lit(None).cast(r_struct_t).alias("_r"),
         F.lit(1).alias("_tag"))
     rt = right.select(
         *keys, order_col,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols],
-        *right_cols,
+        F.struct(*right_cols).alias("_r"),
         F.lit(0).alias("_tag"))
-    w = (Window.partitionBy(*keys).orderBy(order_col, "_tag")
+    # struct ordering (field-wise) is the deterministic tiebreak for
+    # right rows that tie on order_col; left rows all carry a NULL
+    # struct, so their relative order cannot change the carried value
+    w = (Window.partitionBy(*keys).orderBy(order_col, "_tag", "_r")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = lt.unionByName(rt).select(
         *keys, order_col, *left_cols, "_tag",
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in right_cols])
-    out = filled.filter(F.col("_tag") == 1).drop("_tag")
-    cond = None
-    for c in right_cols:
-        nn = F.col(c).isNotNull()
-        cond = nn if cond is None else cond & nn
-    return out.filter(cond) if cond is not None else out
+        F.last("_r", ignorenulls=True).over(w).alias("_r"))
+    return (filled.filter((F.col("_tag") == 1) & F.col("_r").isNotNull())
+            .select(*keys, order_col, *left_cols,
+                    *[F.col("_r")[c].alias(c) for c in right_cols]))

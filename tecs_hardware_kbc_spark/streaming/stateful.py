@@ -25,10 +25,13 @@ terminates. Use the TTL only on continuously-running streams; pass
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+
+_log = logging.getLogger(__name__)
 
 from pyspark.sql import DataFrame
 import pyspark.sql.types as T
@@ -97,7 +100,7 @@ def _make_update(ttl_minutes: int):
 
 def streaming_latest_crawl(pages_stream: DataFrame,
                            state_ttl_minutes: int = DEFAULT_STATE_TTL_MINUTES,
-                           ) -> DataFrame:
+                           bounded: bool | None = None) -> DataFrame:
     """(url, warc_ts, prev_ts, n_crawls) — one row per url per micro-batch
     in which a strictly newer crawl arrived. ``prev_ts`` is the superseded
     timestamp (null on first sight); ``n_crawls`` counts every crawl row
@@ -107,8 +110,31 @@ def streaming_latest_crawl(pages_stream: DataFrame,
     streams: urls with no activity for the TTL are evicted via
     processing-time timeout. Default 0 (NoTimeout) because a registered
     timeout makes bounded availableNow/once drains loop forever; pass
-    ``SUGGESTED_STATE_TTL_MINUTES`` (7 days) on a real continuous stream."""
+    ``SUGGESTED_STATE_TTL_MINUTES`` (7 days) on a real continuous stream.
+
+    The trigger mode is chosen at ``writeStream`` time, after this
+    function returns, so it cannot be introspected here — declare it via
+    ``bounded``: True pins ttl=0 (an availableNow/once drain must not
+    register a timeout), False means a continuous trigger and warns if
+    ttl=0 (per-url state then grows without bound), None keeps the
+    caller's ttl as-is with a warning only when it selected an explicit
+    positive TTL that a bounded drain would hang on (no reliable signal
+    either way)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if bounded is True and state_ttl_minutes > 0:
+        _log.warning(
+            "streaming_latest_crawl: bounded drain requested with "
+            "state_ttl_minutes=%d — forcing NoTimeout (a registered "
+            "ProcessingTimeTimeout makes availableNow/once loop forever)",
+            state_ttl_minutes)
+        state_ttl_minutes = 0
+    elif bounded is False and state_ttl_minutes == 0:
+        _log.warning(
+            "streaming_latest_crawl: continuous stream with ttl=0 "
+            "(NoTimeout) accumulates per-url state unboundedly — pass "
+            "state_ttl_minutes=SUGGESTED_STATE_TTL_MINUTES (or size to "
+            "the source's replay horizon)")
 
     timeout = (GroupStateTimeout.ProcessingTimeTimeout
                if state_ttl_minutes > 0 else GroupStateTimeout.NoTimeout)

@@ -8,6 +8,8 @@ import os
 import duckdb
 import pytest
 
+import pyspark.sql.functions as F
+
 import __spark_entry__ as E
 
 SF = "/root/testdata/sf0.001"
@@ -48,12 +50,27 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_rows_only_queries_run(spark):
+    # NOTE: the three rows-only entries (kbc_triples, kbc_sentences,
+    # kbc_extract_invariant) recompute and assert their committed golden
+    # digests inside the entry body, so this loop IS the local digest
+    # drift check at the fixed corpus seed.
     for name, fn in E.queries().items():
         if name in E.oracle_sql():
             continue
         df = fn(spark, SF)
         assert df.count() >= 0
         assert len(df.schema.fields) > 0
+
+
+def test_golden_digest_catches_drift(spark):
+    """_check_golden must fail loudly on a row-count-preserving value
+    change — the exact regression class the digests exist to catch."""
+    assert set(E._GOLDEN_DIGESTS) == {
+        "kbc_triples", "kbc_sentences", "kbc_extract_invariant"}
+    inv = E.queries()["kbc_extract_invariant"](spark, SF)
+    drifted = inv.withColumn("url", F.concat("url", F.lit("x")))
+    with pytest.raises(AssertionError, match="digest drifted"):
+        E._check_golden("kbc_extract_invariant", drifted, ["url", "ok"])
 
 
 def test_entry_smoke(spark):
