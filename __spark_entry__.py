@@ -1471,6 +1471,80 @@ def media_augment_policy(spark, sf):
     return d.select("doc_id", F.posexplode(out).alias("i", "value"))
 
 
+def _mixup_sql() -> str:
+    """DuckDB replay of augment.mixup over the media_augment pixel
+    fixture: the md5 pool/bucket/order draws, the ring partner (lead with
+    wraparound to first_value — both from the SAME window so the partner
+    row is consistent), the Kumaraswamy(0.5, 0.5) lam, and the per-pixel
+    lerp."""
+    def u(tag: str) -> str:
+        return ("(('0x' || substr(md5(k || ':" + tag +
+                "'), 1, 8))::ubigint / 4294967296.0)")
+
+    return f"""
+WITH d AS (SELECT doc_id, doc_id::varchar AS k,
+                  'doc://' || doc_id AS url
+           FROM documents WHERE doc_id < 60),
+px AS (SELECT doc_id, i,
+    (('0x' || substr(md5(url || ':px:' || (i // 16)),
+                     (i % 16) * 2 + 1, 2))::int) / 256.0 AS v
+  FROM d, unnest(generate_series(0, 23)) AS t(i)),
+tagged AS (SELECT doc_id,
+    ('0x' || substr(md5(url || ':cls'), 1, 2))::int % 3 AS label,
+    round(pow(1.0 - pow(1.0 - {u('mix:lam')}, 2.0), 2.0), 6) AS lam,
+    CASE WHEN {u('mix:same')} <= 0.5
+         THEN 'c:' || (('0x' || substr(md5(url || ':cls'), 1, 2))::int % 3)
+         ELSE 'g' END AS pool,
+    (('0x' || substr(md5(k || ':mix:bkt'), 1, 4))::ubigint % 4)::int
+      AS bkt,
+    md5(k || ':mix:ord') AS ord
+  FROM d),
+pairs AS (SELECT doc_id, label, lam,
+    coalesce(lead(doc_id) OVER w, first_value(doc_id) OVER w)
+      AS partner_id,
+    coalesce(lead(label) OVER w, first_value(label) OVER w)
+      AS partner_label
+  FROM tagged
+  WINDOW w AS (PARTITION BY pool, bkt ORDER BY ord))
+SELECT p.doc_id, p.label, p.partner_id, p.partner_label, p.lam, a.i,
+       round(p.lam * a.v + (1.0 - p.lam) * b.v, 6) AS value
+FROM pairs p
+JOIN px a ON a.doc_id = p.doc_id
+JOIN px b ON b.doc_id = p.partner_id AND b.i = a.i
+"""
+
+
+@_q("media_mixup", _mixup_sql())
+def media_mixup(spark, sf):
+    """Cross-row mixup (augment.mixup — the A<alpha>/R<ratio> settings of
+    augment_policy.py:49-52, which the reference parses but never
+    implements): deterministic ring pairing inside (pool, bucket) windows,
+    Kumaraswamy-lam blend, soft label pair — pair selection AND every
+    mixed pixel hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.augment import mixup
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    pix = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat(url, F.lit(":px:"),
+                               F.floor(i / 16).cast("int").cast("string"))),
+                ((i % 16) * 2 + 1).cast("int"), F.lit(2)),
+            16, 10).cast("double") / 256.0)
+    label = (F.conv(F.substring(F.md5(F.concat(url, F.lit(":cls"))), 1, 2),
+                    16, 10).cast("int") % 3)
+    imgs = d.select("doc_id", label.alias("label"), pix.alias("pixels"))
+    out = mixup(imgs, key_col="doc_id", label_col="label",
+                pixels_col="pixels", alpha=0.5, same_class_ratio=0.5,
+                buckets=4)
+    return (out.select(
+        F.col("key").alias("doc_id"), "label",
+        F.col("partner_key").alias("partner_id"), "partner_label", "lam",
+        F.posexplode("pixels").alias("i", "value"))
+        .withColumn("value", F.round("value", 6)))
+
+
 def _lf_votes_sql() -> str:
     """DuckDB replay of apply_lfs('stg_temp_max'): the 11-LF vote array +
     Laplace marginal over a synthetic candidate frame."""

@@ -240,6 +240,40 @@ def resize(pixels: Column, w: Column, h: Column,
         out_w=ow, out_h=oh)
 
 
+def resize_bilinear(pixels: Column, w: Column, h: Column,
+                    ow: Column, oh: Column) -> Column:
+    """Bilinear resize to ow x oh — the ``interpolation=2`` leg of the
+    reference's Resize (transforms/resize.py:7-10 passes PIL BILINEAR).
+    Standard align-corners=False sampling: source point for output (r, c)
+    is ((c+0.5)*w/ow - 0.5, (r+0.5)*h/oh - 0.5), the 4 neighbors are
+    edge-clamped and blended by the fractional offsets. (PIL's resampler
+    adds box-filter support when DOWNscaling; this is the plain 4-tap
+    form — documented divergence, same form torchvision/TF use.)"""
+    def src(r, c):
+        sy = (r + 0.5) * h / oh - 0.5
+        sx = (c + 0.5) * w / ow - 0.5
+        y0 = F.greatest(F.floor(sy).cast("int"), F.lit(0))
+        x0 = F.greatest(F.floor(sx).cast("int"), F.lit(0))
+        y1 = F.least(y0 + 1, h - 1)
+        x1 = F.least(x0 + 1, w - 1)
+        fy = F.greatest(F.least(sy - y0, F.lit(1.0)), F.lit(0.0))
+        fx = F.greatest(F.least(sx - x0, F.lit(1.0)), F.lit(0.0))
+        return y0, x0, y1, x1, fy, fx
+
+    return _let(pixels, lambda px: F.transform(
+        _idx(ow, oh),
+        lambda i: _bilerp(px, w,
+                          *src(F.floor(i / ow).cast("int"), i % ow))))
+
+
+def _bilerp(px, w, y0, x0, y1, x1, fy, fx) -> Column:
+    def at(r, c):
+        return F.element_at(px, (r * w + c + 1).cast("int"))
+    top = at(y0, x0) * (1.0 - fx) + at(y0, x1) * fx
+    bot = at(y1, x0) * (1.0 - fx) + at(y1, x1) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 def pad(pixels: Column, w: Column, h: Column, p: Column,
         mode: str = "constant", fill: float = 0.0) -> Column:
     """Pad ``p`` pixels on every side -> (w+2p) x (h+2p) (torchvision's
@@ -370,6 +404,101 @@ def identity(pixels: Column) -> Column:
     return pixels
 
 
+def color_jitter(pixels: Column,
+                 b_factor: Column | None = None,
+                 c_factor: Column | None = None,
+                 t_factor: Column | None = None) -> Column:
+    """torchvision-style ColorJitter: compose brightness / contrast /
+    saturation enhancements with explicit per-image factors — the
+    consumer of the policy grammar's B/C/T settings
+    (augment_policy.py:55-60 parses them; no reference transform accepts
+    the kwargs, so they were dead grammar there — wired up here).
+    torchvision shuffles the op order per call; the deterministic mandate
+    fixes it to B -> C -> T."""
+    out = pixels
+    if b_factor is not None:
+        out = brightness(out, b_factor)
+    if c_factor is not None:
+        out = contrast(out, c_factor)
+    if t_factor is not None:
+        out = color(out, t_factor)
+    return out
+
+
+def mixup(images, *, key_col: str = "img_id", label_col: str = "label",
+          pixels_col: str = "pixels", alpha: float = 0.5,
+          same_class_ratio: float = 0.0, buckets: int = 16):
+    """Cross-row mixup (Zhang et al., ICLR 2018) — the operator behind
+    the policy grammar's ``A<alpha>`` / ``R<same_class_ratio>`` settings
+    (augment_policy.py:49-52 parses them; the reference ships no
+    consuming transform). Mixup blends each image with a partner image
+    and carries soft labels: ``mixed = lam*own + (1-lam)*partner``.
+
+    It is cross-row, so it cannot be a column expression like the rest
+    of this module — it is a DataFrame operator. Deterministic and
+    SQL-replayable by construction:
+
+    - pool coin: ``u_same = md5-uniform(key, 'mix:same') <=
+      same_class_ratio`` puts the row in its label's same-class pool,
+      else the global pool;
+    - partner: the NEXT row (cyclically) in md5 order within the row's
+      (pool, bucket) window partition — a ring pairing; every row draws
+      exactly one partner, a singleton partition self-pairs (identity
+      mix);
+    - ``lam``: Kumaraswamy(alpha, alpha) inverse CDF of a per-key
+      uniform — the closed-form surrogate for Beta(alpha, alpha)
+      (Beta sampling needs rejection, which is not expressible as one
+      deterministic replayable expression; Kumaraswamy shares support
+      and shape family), rounded to 6 dp so the pow() replay is stable
+      across engines.
+
+    Scale: ONE shuffle (the window on (pool, bucket)); ``buckets``
+    bounds every window partition, so there is no global sort and a
+    dominant class cannot pile onto one task.
+
+    Returns (key, label, partner_key, partner_label, lam, pixels) with
+    soft label weights lam / 1-lam on label / partner_label."""
+    from pyspark.sql.window import Window
+
+    k = F.col(key_col).cast("string")
+    inv_a = 1.0 / alpha
+    lam = F.round(
+        F.pow(F.lit(1.0) - F.pow(F.lit(1.0) - _hash_u(k, "mix:lam"),
+                                 F.lit(inv_a)),
+              F.lit(inv_a)), 6)
+    pool = F.when(
+        _hash_u(k, "mix:same") <= F.lit(float(same_class_ratio)),
+        F.concat(F.lit("c:"), F.col(label_col).cast("string"))
+    ).otherwise(F.lit("g"))
+    bkt = (F.conv(F.substring(F.md5(F.concat(k, F.lit(":mix:bkt"))), 1, 4),
+                  16, 10).cast("int") % buckets)
+    tagged = images.select(
+        F.col(key_col).alias("key"), F.col(label_col).alias("label"),
+        F.col(pixels_col).alias("_px"), lam.alias("lam"),
+        pool.alias("_pool"), bkt.alias("_bkt"),
+        F.md5(F.concat(k, F.lit(":mix:ord"))).alias("_ord"))
+    w = Window.partitionBy("_pool", "_bkt").orderBy("_ord")
+    ps = F.struct(F.col("key").alias("key"), F.col("label").alias("label"),
+                  F.col("_px").alias("px"))
+    # lead's partition tail wraps to the partition head (default frame of
+    # the ordered window starts at unbounded preceding, so first() is the
+    # partition's first row)
+    partner = F.coalesce(F.lead(ps, 1).over(w), F.first(ps).over(w))
+    mixed = tagged.select(
+        "key", "label", "lam", "_px", partner.alias("_partner"))
+    # let-bind lam so a collapsed projection can't inline its md5/pow
+    # tree into the per-element lambda (see _let)
+    env = F.struct(F.col("lam").alias("l"))
+    pix = _let(env, lambda e: F.zip_with(
+        "_px", "_partner.px",
+        lambda a, b: e["l"] * a + (F.lit(1.0) - e["l"]) * b))
+    return mixed.select(
+        "key", "label",
+        F.col("_partner.key").alias("partner_key"),
+        F.col("_partner.label").alias("partner_label"),
+        "lam", pix.alias("pixels"))
+
+
 # --- policy grammar -----------------------------------------------------
 
 
@@ -393,8 +522,11 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
     Grammar: transforms joined by ``@``; each is ``Name`` plus
     ``_``-separated settings — ``P<prob>``, ``L<level>``, ``MP<max_pixel>``
     (Cutout), ``MD<max_degree>`` (TranslateX/Y), ``S<size>`` /
-    ``PD<padding>`` / ``PM<mode>`` (RandomCrop). E.g.
-    ``"Cutout_MP20@Rotate"`` or
+    ``PD<padding>`` / ``PM<mode>`` (RandomCrop), ``I<interp>`` (Resize:
+    0 nearest / 2 bilinear), ``B/C/T<val>`` (ColorJitter brightness /
+    contrast / saturation — needs ``seed``). ``A<alpha>``/``R<ratio>``
+    (mixup) raise with a pointer to the cross-row ``mixup`` DataFrame
+    operator. E.g. ``"Cutout_MP20@Rotate"`` or
     ``"RandomCrop_P1_S224_PD20_PMreflect@HorizontalFlip_P0.5"``.
 
     Determinism (the reference samples at parse and apply time;
@@ -413,6 +545,8 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
         max_pixel, max_degree = 20, 10
         size: int | None = None
         padding, pad_mode = 0, "constant"
+        interp = 0
+        jit_b = jit_c = jit_t = 0.0
         for s in settings:
             if s.startswith("PD"):
                 padding = int(s[2:].split(",")[0])
@@ -429,8 +563,24 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
                 level = float(s[1:])
             elif s.startswith("S"):
                 size = int(s[1:].split(",")[0])
-            # A/R/I/B/C/T settings configure the reference's mixup /
-            # interpolation / color-jitter paths — no-ops here
+            elif s.startswith("A") or s.startswith("R"):
+                # mixup settings (augment_policy.py:49-52) — mixup blends
+                # ACROSS rows, which a single-column pixel expression
+                # cannot express; the reference parses these but ships no
+                # consuming transform. Direct callers to the DataFrame
+                # operator instead of silently dropping the setting.
+                raise ValueError(
+                    f"{name}: mixup settings (A<alpha>/R<ratio>) are "
+                    "cross-row — use operators.augment.mixup(df, ...) "
+                    "on the image DataFrame")
+            elif s.startswith("I"):
+                interp = int(s[1:])
+            elif s.startswith("B"):
+                jit_b = float(s[1:])
+            elif s.startswith("C"):
+                jit_c = float(s[1:])
+            elif s.startswith("T"):
+                jit_t = float(s[1:])
 
         def coin(tag: str) -> Column:
             if seed is None:
@@ -444,10 +594,22 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
             return F.when(coin("sign") > 0.5, F.lit(-mag)) \
                     .otherwise(F.lit(mag))
 
+        def jitter_factor(tag: str, v: float) -> Column:
+            # torchvision ColorJitter: factor ~ U[max(0, 1-v), 1+v],
+            # drawn per image from the md5 stream
+            lo = max(0.0, 1.0 - v)
+            return F.lit(lo) + coin(tag) * F.lit((1.0 + v) - lo)
+
         ow, oh = cw, ch  # dims after this transform
         factor = 0.1 + level * 1.8  # the shared enhancer range
         if name == "AutoContrast":
             out = auto_contrast(px)
+        elif name == "ColorJitter":
+            out = color_jitter(
+                px,
+                b_factor=jitter_factor("jb", jit_b) if jit_b > 0 else None,
+                c_factor=jitter_factor("jc", jit_c) if jit_c > 0 else None,
+                t_factor=jitter_factor("jt", jit_t) if jit_t > 0 else None)
         elif name == "Brightness":
             out = brightness(px, F.lit(factor))
         elif name == "Color":
@@ -509,7 +671,16 @@ def parse_policy(policy: str, pixels: Column, w: Column, h: Column,
                 raise ValueError(
                     "probabilistic Resize would make output dims "
                     "data-dependent")
-            out = resize(px, cw, ch, F.lit(size), F.lit(size))
+            if interp == 0:
+                out = resize(px, cw, ch, F.lit(size), F.lit(size))
+            elif interp == 2:
+                # PIL code 2 = BILINEAR, the reference Resize's default
+                # (transforms/resize.py:7)
+                out = resize_bilinear(px, cw, ch, F.lit(size), F.lit(size))
+            else:
+                raise ValueError(
+                    f"Resize: unsupported interpolation I{interp} "
+                    "(0 = nearest, 2 = bilinear)")
             ow, oh = F.lit(size), F.lit(size)
         elif name == "Rotate":
             deg = level * 30.0

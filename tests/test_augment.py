@@ -296,3 +296,124 @@ def test_parse_policy(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+# --- round-5 additions: bilinear resize, color jitter, mixup ------------
+
+def test_resize_bilinear_vs_numpy(spark):
+    img = _rng_img(seed=26, h=4, w=6)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+    ow, oh = 9, 3
+
+    def bilerp(r, c):
+        sy = (r + 0.5) * 4 / oh - 0.5
+        sx = (c + 0.5) * 6 / ow - 0.5
+        y0 = max(int(np.floor(sy)), 0)
+        x0 = max(int(np.floor(sx)), 0)
+        y1, x1 = min(y0 + 1, 3), min(x0 + 1, 5)
+        fy = min(max(sy - y0, 0.0), 1.0)
+        fx = min(max(sx - x0, 0.0), 1.0)
+        top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+        bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+        return top * (1 - fy) + bot * fy
+
+    exp = np.array([[bilerp(r, c) for c in range(ow)] for r in range(oh)])
+    got = _run(df, A.resize_bilinear(px, w, h, F.lit(ow), F.lit(oh)))
+    assert np.allclose(got, exp.reshape(-1))
+    # upscale-then-read identity: resizing to the same dims is exact
+    same = _run(df, A.resize_bilinear(px, w, h, F.lit(6), F.lit(4)))
+    assert np.allclose(same, img.reshape(-1))
+
+
+def test_policy_resize_interpolation_and_guards(spark):
+    img = _rng_img(seed=27, h=4, w=4)
+    df = _img_df(spark, img)
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    out, ow, oh = A.parse_policy("Resize_S8_I2", px, w, h)
+    manual = A.resize_bilinear(px, w, h, F.lit(8), F.lit(8))
+    assert np.allclose(_run(df, out), _run(df, manual))
+
+    import pytest
+    with pytest.raises(ValueError, match="probabilistic Resize"):
+        A.parse_policy("Resize_P0.5_S8", px, w, h)
+    with pytest.raises(ValueError, match="interpolation I1"):
+        A.parse_policy("Resize_S8_I1", px, w, h)
+    with pytest.raises(ValueError, match="mixup"):
+        A.parse_policy("Brightness_A0.4", px, w, h)
+    with pytest.raises(ValueError, match="mixup"):
+        A.parse_policy("Brightness_R0.5", px, w, h)
+
+
+def test_reflect_pad_one_pixel_dim(spark):
+    # ADVICE r4: reflect with a dimension of 1 used to pmod by 0 -> NULLs
+    img = np.array([[0.25, 0.5, 0.75]])  # h=1
+    df = _img_df(spark, img)
+    got = _run(df, A.pad(F.col("pixels"), F.col("width"), F.col("height"),
+                         F.lit(1), "reflect"))
+    assert not np.isnan(got).any()
+    assert got.shape == (5 * 3,)
+    # every padded row mirrors the single source row
+    exp_row = np.array([0.5, 0.25, 0.5, 0.75, 0.5])
+    assert np.allclose(got.reshape(3, 5), np.tile(exp_row, (3, 1)))
+
+
+def test_color_jitter_policy(spark):
+    """ColorJitter consumes B/C/T: factors are md5 draws in
+    [max(0,1-v), 1+v], applied brightness -> contrast -> saturation."""
+    import hashlib
+
+    img = _rng_img(seed=28, h=4, w=5)
+    df = _img_df(spark, img).withColumn("url", F.lit("doc://3"))
+    w, h, px = F.col("width"), F.col("height"), F.col("pixels")
+
+    def u(tag):
+        hx = hashlib.md5(f"doc://3:{tag}".encode()).hexdigest()
+        return int(hx[:8], 16) / 2 ** 32
+
+    out, _, _ = A.parse_policy("ColorJitter_B0.4_C0.3", px, w, h,
+                               seed=F.col("url"))
+    bf = 0.6 + u("0:ColorJitter:jb") * 0.8
+    cf = 0.7 + u("0:ColorJitter:jc") * 0.6
+    step1 = np.clip(img * bf, 0, 1)
+    m = step1.mean()
+    exp = np.clip(m + cf * (step1 - m), 0, 1)
+    assert np.allclose(_run(df, out), exp.reshape(-1))
+
+    import pytest
+    with pytest.raises(ValueError, match="seed"):
+        A.parse_policy("ColorJitter_B0.4", px, w, h)
+
+
+def test_mixup_properties(spark):
+    """Ring pairing is total and deterministic; lam blends pixel-exactly;
+    same_class_ratio=1 keeps every pair inside one class."""
+    import pandas as pd
+
+    n = 40
+    rows = [(i, i % 3, [float((i * 7 + j) % 16) / 16 for j in range(6)])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "img_id int, label int, pixels array<double>")
+
+    out = A.mixup(df, alpha=0.5, same_class_ratio=0.0, buckets=4)
+    pdf = out.toPandas().set_index("key").sort_index()
+    assert len(pdf) == n                       # one output row per input
+    assert ((pdf["lam"] >= 0) & (pdf["lam"] <= 1)).all()
+    # deterministic: a second run (different partitioning) is identical
+    pdf2 = (A.mixup(df.repartition(7), alpha=0.5, same_class_ratio=0.0,
+                    buckets=4)
+            .toPandas().set_index("key").sort_index())
+    pd.testing.assert_frame_equal(pdf, pdf2)
+
+    # blend check: mixed = lam*own + (1-lam)*partner, partner row consistent
+    own = {r[0]: np.array(r[2]) for r in rows}
+    lab = {r[0]: r[1] for r in rows}
+    for key, row in pdf.iterrows():
+        exp = row["lam"] * own[key] + (1 - row["lam"]) * own[row["partner_key"]]
+        assert np.allclose(np.array(row["pixels"]), exp)
+        assert row["partner_label"] == lab[row["partner_key"]]
+
+    # ratio=1: every row joins its class pool -> partner label == label
+    same = A.mixup(df, alpha=0.5, same_class_ratio=1.0, buckets=4).toPandas()
+    assert (same["label"] == same["partner_label"]).all()
