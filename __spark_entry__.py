@@ -897,6 +897,50 @@ def doc_sample(spark, sf):
     return out.select("doc_id", "split")
 
 
+_RESAMPLE_MULTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 3.0}
+
+
+def _resample_sql() -> str:
+    """DuckDB replay of resample_by_weight (sampling.py): the per-domain
+    multiplier CASE, floor + fractional md5-coin copy count, and the
+    copy-index explode."""
+    cases = " ".join(f"WHEN '{d}' THEN {m}::double"
+                     for d, m in _RESAMPLE_MULTS.items())
+    u = ("(('0x' || substr(md5(doc_id::varchar || ':resample'), 1, 8))"
+         "::ubigint / 4294967296.0)")
+    return f"""
+WITH m AS (SELECT doc_id, source,
+        CASE source {cases} ELSE 1.0::double END AS mult
+      FROM documents WHERE doc_id < 200),
+n AS (SELECT doc_id, source,
+        floor(mult)::int
+        + (CASE WHEN {u} < mult - floor(mult) THEN 1 ELSE 0 END)
+          AS n_copies
+      FROM m)
+SELECT doc_id, source, g.c::int AS copy
+FROM n, unnest(generate_series(0, n_copies - 1)) AS g(c)
+WHERE n_copies >= 1
+"""
+
+
+@_q("doc_resample", _resample_sql())
+def doc_resample(spark, sf):
+    """Domain-mixture resampling with repetition
+    (sampling.resample_by_weight): src0 x2.5, src1 x0.4, src2 dropped,
+    src3 x3, everything else pass-through — integer copies plus a
+    deterministic per-key fractional coin, the pretraining-mix step
+    between corpus and batches; copy assignment hash-checked vs the
+    DuckDB replay. (Multipliers here are fixed literals so the oracle
+    replays; temperature_multipliers derives them from corpus shares and
+    is calibration-tested in pytest.)"""
+    from tecs_hardware_kbc_spark.operators.sampling import (
+        resample_by_weight)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    out = resample_by_weight(d.select("doc_id", "source"), "doc_id",
+                             "source", _RESAMPLE_MULTS)
+    return out.select("doc_id", "source", "copy")
+
+
 _PACK_BUDGET, _PACK_SHARDS = 128, 8
 
 

@@ -13,6 +13,10 @@ the same rows, which Bernoulli ``rand()`` does not guarantee.
 * ``split_by_hash`` — disjoint, exhaustive train/val/test labels from
   cumulative weight boundaries (the doc-hash generalization of
   scoring.is_dev_doc's 50/50 split).
+* ``resample_by_weight`` / ``temperature_multipliers`` — domain-mixture
+  resampling with repetition (multiplier > 1 duplicates rows, the
+  fractional part is a deterministic per-key coin; temperature alpha
+  flattens the domain distribution the multilingual-pretraining way).
 * ``pack_sequences`` — concat-and-chunk sequence packing: shard the
   corpus by key hash, order each shard deterministically, lay documents
   end-to-end on a per-shard token tape and cut it every ``budget``
@@ -70,6 +74,60 @@ def split_by_hash(df: DataFrame, key: str,
     for name, bound in reversed(rev):
         expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn(col_name, expr)
+
+
+def resample_by_weight(df: DataFrame, key: str, domain_col: str,
+                       multipliers: dict[str, float],
+                       salt: str = "resample",
+                       copy_col: str = "copy") -> DataFrame:
+    """Weighted resampling with repetition — the domain-mixing step of a
+    pretraining data recipe (each domain d is up-/down-sampled by a
+    multiplier ``m_d``, possibly > 1): every row of domain d is emitted
+    ``floor(m_d)`` times, plus one more with probability ``frac(m_d)``
+    decided by the row's key-hash uniform — deterministic per key, so a
+    retried task emits the same copies and the realized count per domain
+    is ``n_d * m_d`` in expectation with per-key reproducibility.
+
+    Output = the input columns plus ``copy`` (0-based repetition index,
+    dense per key). Rows whose domain is missing from ``multipliers``
+    get m = 1.0 (pass-through). Zero-copy rows are dropped by exploding
+    an empty sequence — no join, no shuffle: the whole operator is one
+    projection + explode, which is the only shape that holds at 100 TB
+    (a sample-with-replacement join would shuffle the corpus)."""
+    m = F.lit(1.0)
+    for name, mult in multipliers.items():
+        if mult < 0:
+            raise ValueError(f"negative multiplier for domain {name!r}")
+        m = F.when(F.col(domain_col) == F.lit(name),
+                   F.lit(float(mult))).otherwise(m)
+    base = F.floor(m).cast("int")
+    extra = (hash_u(F.col(key), salt) < (m - base)).cast("int")
+    n = base + extra
+    copies = F.when(n >= 1, F.sequence(F.lit(0), n - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
+
+
+def temperature_multipliers(df: DataFrame, domain_col: str,
+                            alpha: float) -> dict[str, float]:
+    """Per-domain multipliers for temperature-based mixture sampling
+    (multilingual pretraining convention: sampling share q_d ∝ p_d^alpha
+    where p_d is the domain's corpus share; alpha < 1 flattens the mix,
+    alpha = 1 is the natural distribution). The multiplier that realizes
+    q_d while keeping the EXPECTED total row count unchanged is
+    ``m_d = p_d^(alpha-1) / sum_e p_e^alpha``.
+
+    Driver-side O(#domains) collect — domains are a handful of sources
+    or languages, never corpus-scale. Feed the result to
+    ``resample_by_weight``."""
+    counts = {r[0]: r[1]
+              for r in df.groupBy(domain_col).count().collect()}
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    z = sum((c / total) ** alpha for c in counts.values())
+    return {d: (c / total) ** (alpha - 1.0) / z
+            for d, c in counts.items()}
 
 
 def pack_sequences(df: DataFrame, key: str, token_col: str,
