@@ -82,27 +82,42 @@ def run_suite() -> dict:
     # lap 0 is an UNTIMED warm-up of the full kbc DAG (JIT-compiles every
     # codegen stage + ramps the host clock), then timed best-of-3 (the host
     # downclocks when idle; cold runs are 1.5-3x slower than warm)
+    medians: dict[str, float] = {}
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     _ramp_cpu()
     result = run_kbc(spark, pages, gaz, gold)
     n_triples = result.triples.count()
-    kbc_s = None
+    laps = []
     for _ in range(3):
         t0 = time.monotonic()
         result = run_kbc(spark, pages, gaz, gold)
         n_triples = result.triples.count()
-        run_s = time.monotonic() - t0
-        kbc_s = run_s if kbc_s is None else min(kbc_s, run_s)
-    timings["kbc_e2e"] = round(kbc_s, 3)
+        laps.append(time.monotonic() - t0)
+    timings["kbc_e2e"] = round(min(laps), 3)
+    medians["kbc_e2e"] = round(sorted(laps)[1], 3)
 
+    # r5 (VERDICT r4 #1): warm up EVERY suite query once untimed — first-lap
+    # Catalyst analysis/codegen of the large conv/augment expression trees
+    # used to land in a timed lap and read as a 9-10x per-query regression
+    # on unchanged code — then ramp the clock again before the timed laps.
     qs = E.queries()
     for name in BENCH_QUERIES:
-        best = None
-        for _ in range(3):  # min-of-3: filters cold-JIT/downclock spikes
+        _noop(qs[name](spark, SF_DIR))
+    _ramp_cpu()
+    for name in BENCH_QUERIES:
+        laps = []
+        for _ in range(3):  # min filters cold-JIT/downclock spikes
             t0 = time.monotonic()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            d = time.monotonic() - t0
-            best = d if best is None else min(best, d)
-        timings[name] = round(best, 3)
+            _noop(qs[name](spark, SF_DIR))
+            laps.append(time.monotonic() - t0)
+        timings[name] = round(min(laps), 3)
+        # the median travels alongside: a lap poisoned by a host clock
+        # window is then VISIBLE as min << median instead of silently
+        # becoming the official number
+        medians[name] = round(sorted(laps)[1], 3)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -110,11 +125,13 @@ def run_suite() -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "suite_sec_median": round(sum(medians.values()), 3),
         "sf": _sf_label(),
         "cpus": CPUS,
         "kbc_pages": n_page_rows,
         "kbc_triples": n_triples,
-        "pages_per_sec": round(n_page_rows / kbc_s, 2),
+        "pages_per_sec": round(n_page_rows / timings["kbc_e2e"], 2),
         "corpus_gen_sec": round(gen_s, 3),
     }
 
@@ -312,10 +329,18 @@ def run_scaling() -> None:
     suite_8 = suite(8)
     suite_32 = suite(32)
 
-    stage_rows = "\n".join(
-        f"| {k} | {st_8['stages'][k]} | {st_32['stages'][k]} "
-        f"| {st_8['stages'][k] / max(st_32['stages'][k], 1e-9) / 4:.2f} |"
-        for k in st_8["stages"])
+    def stage_row(k: str) -> str:
+        s8, s32 = st_8["stages"][k], st_32["stages"][k]
+        eff = f"{s8 / max(s32, 1e-9) / 4:.2f}"
+        # a stage under ~5s at 8 cores is in task-overhead regime on this
+        # host: its eff column cannot support a cross-level comparison
+        # (such stages have measured BOTH negative and positive scaling
+        # minutes apart) — flag it instead of presenting it as evidence
+        if k != "TOTAL" and s8 < 5.0:
+            eff += " †"
+        return f"| {k} | {s8} | {s32} | {eff} |"
+
+    stage_rows = "\n".join(stage_row(k) for k in st_8["stages"])
 
     strong_speedup = strong_8["sec"] / strong_32["sec"]
     strong_eff = strong_speedup / 4.0
@@ -372,12 +397,21 @@ single-launch stage tables are not comparable across levels.
 |---|---|---|---|
 {stage_rows}
 
+† = under 5s at 8 cores: task-overhead regime on this host; the eff
+value is not evidence of the stage's scaling (isolated sub-2s stages
+have measured both negative and positive eff minutes apart). The fused
+datapath rows above are the meaningful scaling measurement.
+
 ## Full pipeline + headline query suite (warm kbc, one JVM per level)
 
-| cores | suite sec | kbc_e2e sec |
-|---|---|---|
-| 8  | {suite_8['value']} | {suite_8['queries']['kbc_e2e']} |
-| 32 | {suite_32['value']} | {suite_32['queries']['kbc_e2e']} |
+min = best-of-3 warm laps (the official number); median shown so a lap
+poisoned by a host clock window is visible as min << median rather than
+silently shifting the record.
+
+| cores | suite sec (min) | suite sec (median) | kbc_e2e (min) | kbc_e2e (median) |
+|---|---|---|---|---|
+| 8  | {suite_8['value']} | {suite_8['suite_sec_median']} | {suite_8['queries']['kbc_e2e']} | {suite_8['queries_median']['kbc_e2e']} |
+| 32 | {suite_32['value']} | {suite_32['suite_sec_median']} | {suite_32['queries']['kbc_e2e']} | {suite_32['queries_median']['kbc_e2e']} |
 
 ## Caveats (single-box stand-in)
 
