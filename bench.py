@@ -266,6 +266,61 @@ def run_stage_profile(cpus: int, pages: int, repeats: int = 3) -> dict:
     return {"cpus": cpus, "pages": pages, "stages": best}
 
 
+def _ceiling_cpu_kernel(units: int) -> None:
+    for _ in range(units):
+        x = 0
+        for i in range(12_000_000):
+            x += i * i
+
+
+def _ceiling_mem_kernel(units: int) -> None:
+    import numpy as np
+    a = np.zeros(32 * 1024 * 1024)         # 256 MB per process
+    for _ in range(units):
+        for _ in range(4):
+            a += 1.000001                   # streaming read-modify-write
+            a.sum()                         # streaming read
+
+
+def run_host_ceiling(repeats: int = 2) -> dict:
+    """Measure THIS box's 8 -> 32 strong-scaling ceiling with plain
+    multiprocessing — no Spark, no JVM, no shuffles: a pure-CPU kernel
+    (GIL-free per process) and a memory-bandwidth-bound kernel (numpy
+    streaming passes over 256 MB per process, the regime a shuffle-heavy
+    JVM datapath lives in). Total work is FIXED (the strong-scaling
+    shape): 8 processes x 4 units vs 32 processes x 1 unit; ideal wall
+    ratio is 4x, and the measured ratio / 4 is the ceiling any
+    single-box measurement must be read against — shared memory
+    controllers and the frequency governor make it < 1 on this VM."""
+    import multiprocessing as mp
+
+    def wall(target, procs: int, units: int) -> float:
+        best = None
+        for _ in range(repeats):
+            ps = [mp.Process(target=target, args=(units,))
+                  for _ in range(procs)]
+            t0 = time.monotonic()
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            d = time.monotonic() - t0
+            best = d if best is None else min(best, d)
+        return best
+
+    _ramp_cpu()
+    out: dict = {"metric": "host_ceiling_8_to_32", "unit": "ratio"}
+    for name, kern in (("cpu", _ceiling_cpu_kernel),
+                       ("mem", _ceiling_mem_kernel)):
+        w8 = wall(kern, 8, 4)
+        w32 = wall(kern, 32, 1)
+        out[f"{name}_wall_8"] = round(w8, 2)
+        out[f"{name}_wall_32"] = round(w32, 2)
+        out[f"{name}_eff"] = round(w8 / w32 / 4.0, 3)
+    out["value"] = out["mem_eff"]
+    return out
+
+
 def run_scaling() -> None:
     """Two-cluster-size evidence (north_rule): the same job at local[8] and
     local[32] (N and 4N cores standing in for N and 4N executors).
@@ -328,6 +383,7 @@ def run_scaling() -> None:
     st_32 = min_merge(st_32_runs)
     suite_8 = suite(8)
     suite_32 = suite(32)
+    ceiling = run_host_ceiling()
 
     def stage_row(k: str) -> str:
         s8, s32 = st_8["stages"][k], st_32["stages"][k]
@@ -359,6 +415,12 @@ def run_scaling() -> None:
         "suite_sec_32": suite_32["value"],
         "kbc_e2e_sec_8": suite_8["queries"]["kbc_e2e"],
         "kbc_e2e_sec_32": suite_32["queries"]["kbc_e2e"],
+        "host_ceiling_cpu_eff": ceiling["cpu_eff"],
+        "host_ceiling_mem_eff": ceiling["mem_eff"],
+        "strong_eff_vs_mem_ceiling": round(
+            strong_eff / max(ceiling["mem_eff"], 1e-9), 3),
+        "weak_eff_vs_mem_ceiling": round(
+            weak_eff / max(ceiling["mem_eff"], 1e-9), 3),
     }
     print(json.dumps(report))
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"),
@@ -384,6 +446,21 @@ entities, no intermediate stores.
   -> efficiency **{strong_eff:.2f}**.
 * **Weak scaling** (4x cores with 4x input — the regime that models growing
   a cluster to hold more data): efficiency **{weak_eff:.2f}**.
+
+## Host ceiling (measured THIS run, same box state)
+
+Plain multiprocessing, no Spark/JVM, total work fixed, 8 x 4 units vs
+32 x 1 unit (ideal wall ratio 4x):
+
+| kernel | 8-proc wall | 32-proc wall | 8->32 eff |
+|---|---|---|---|
+| pure CPU (GIL-free int loop) | {ceiling['cpu_wall_8']} | {ceiling['cpu_wall_32']} | {ceiling['cpu_eff']} |
+| memory bandwidth (256 MB numpy streams/process) | {ceiling['mem_wall_8']} | {ceiling['mem_wall_32']} | {ceiling['mem_eff']} |
+
+The datapath shuffles and scans wide cached rows, so the MEMORY row is
+the relevant ceiling: datapath strong eff normalized to it =
+**{strong_eff / max(ceiling['mem_eff'], 1e-9):.2f}**, weak eff normalized =
+**{weak_eff / max(ceiling['mem_eff'], 1e-9):.2f}**.
 
 ## Per-stage strong scaling (isolated stage timings, best-of-3 warm)
 
@@ -418,12 +495,19 @@ silently shifting the record.
 * All "executors" share one JVM heap, one memory bus and one driver; a real
   4N-executor cluster adds heap/bandwidth/driver capacity that this box
   cannot, so these numbers UNDER-state multi-node scaling.
-* A pure-CPU multiprocessing probe on this VM tops out at ~0.79 efficiency
-  for 8 -> 32 processes (memory-bandwidth ceiling of the shared host).
-* The host downclocks when idle; cold runs are 1.5-3x slower than warm,
-  hence best-of-N warm repeats. Same-code consecutive-lap variance on this
-  host has been observed up to 4x (20.8s vs 84.1s) — single laps mean
-  nothing here.
+* The host-ceiling table above is measured in the SAME run: the
+  memory-bandwidth kernel's 8->32 efficiency is ~0.25-0.30 across every
+  window probed (the box's memory bus saturates near 8 streaming
+  processes), while the pure-CPU kernel's swings 0.47-0.69 WITH the host
+  window. Any shuffle/scan-heavy workload on this box mixes the two
+  regimes, so a measured datapath eff between ~0.3 and ~0.65 is
+  box-limited, not plan-limited.
+* The host is a shared, bursty VM: absolute kernel walls for IDENTICAL
+  work swing up to 5x between probe runs minutes apart (co-tenant
+  bandwidth/CPU steal on top of idle downclocking; same-code
+  consecutive Spark laps have measured 4x apart). Single laps mean
+  nothing here — every recorded number is a best-of-N warm minimum and
+  the suite also records medians so a poisoned lap is visible.
 * NOT comparable to round-2 BENCH.md scaling rows: the probe moved from
   16k to 64k pages. At 16k, fixed per-job overhead dominates the 8-core
   quarter-input reference and FLATTERS weak efficiency (r2's 0.78-0.90);
@@ -519,6 +603,8 @@ def run_rels_sweep(cpus: int, pages: int = 8000,
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--host-ceiling" in sys.argv:
+        print(json.dumps(run_host_ceiling()))
     elif "--rels-sweep" in sys.argv:
         print(json.dumps(run_rels_sweep(CPUS)))
     elif "--docs-sweep" in sys.argv:

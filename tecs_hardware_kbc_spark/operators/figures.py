@@ -115,7 +115,8 @@ THUMB = 16  # thumbnail raster side for the conv feature path
 
 
 def synthesize_thumbnail(url: Column, src: Column,
-                         size: int = THUMB) -> Column:
+                         size: int = THUMB,
+                         salt: str = "") -> Column:
     """Deterministic ``size x size`` grayscale pixel raster for a figure —
     the corpus-harness stand-in for DECODED thumbnail content (the
     container ships no codec; a real deployment's decode tier would fill
@@ -125,15 +126,22 @@ def synthesize_thumbnail(url: Column, src: Column,
     STRUCTURE, not planted aspect geometry: connectors render a jittered
     annulus (the circular-connector silhouette), negatives render
     axis-aligned stripes. All integer index math — the ``media_conv``
-    oracle replays it exactly in SQL."""
+    oracle replays it exactly in SQL.
+
+    ``salt`` redraws every APPEARANCE parameter (center, radius, stripe
+    orientation/period/phase) from an independent md5 stream while the
+    class bit stays tied to the unsalted figure hash — the knob
+    ``test_figures`` uses to prove the classifier gate separates the
+    classes for a DIFFERENT parameter draw, not just the default one."""
     h = _fig_hash(url, src)
     is_conn = (_byte(h, 0) % 2) == 1           # the SAME class bit
-    cx = 5 + _byte(h, 5) % 6
-    cy = 5 + _byte(h, 6) % 6
-    rad = 3 + _byte(h, 7) % 4
-    horiz = (_byte(h, 8) % 2) == 0
-    period = 3 + _byte(h, 9) % 3
-    phase = _byte(h, 10) % period
+    hp = F.md5(F.concat(h, F.lit(salt))) if salt else h
+    cx = 5 + _byte(hp, 5) % 6
+    cy = 5 + _byte(hp, 6) % 6
+    rad = 3 + _byte(hp, 7) % 4
+    horiz = (_byte(hp, 8) % 2) == 0
+    period = 3 + _byte(hp, 9) % 3
+    phase = _byte(hp, 10) % period
 
     def val(i):
         r = F.floor(i / size).cast("int")
@@ -187,7 +195,7 @@ def figure_mentions(figures: DataFrame, media: DataFrame) -> DataFrame:
         F.least("width", "height") > MIN_THUMB_DIM)
 
 
-def _fig_features() -> list[Column]:
+def _fig_features(raster_salt: str = "") -> list[Column]:
     """The classifier feature vector: pooled |Sobel-x|, |Sobel-y| and
     |center-surround| responses over the thumbnail pixels (convolve.py's
     fixed 3x3 bank — translation-invariant conv statistics standing in
@@ -196,7 +204,7 @@ def _fig_features() -> list[Column]:
     nonlinearity the LR head could not synthesize from sx/sy alone)."""
     from tecs_hardware_kbc_spark.operators.convolve import conv_features
     side = F.lit(THUMB)
-    px = synthesize_thumbnail(F.col("url"), F.col("src"))
+    px = synthesize_thumbnail(F.col("url"), F.col("src"), salt=raster_salt)
     sx, sy, cs = conv_features(px, side, side)
     return [sx, sy, cs, F.abs(sx - sy)]
 
@@ -206,12 +214,12 @@ N_FEATURES = 4
 
 def fit_connector_lr(mentions_dev: DataFrame, gold: DataFrame,
                      epochs: int = 200, lr: float = 1.0,
-                     seed: int = 7) -> dict:
+                     seed: int = 7, raster_salt: str = "") -> dict:
     """Dense logistic regression over the conv features, fit on the dev
     slice (see the COST CONTRACT in the module docstring — the conv maps
     themselves stay distributed; only the pooled feature vector is
     collected). Deterministic full-batch GD."""
-    feats = _fig_features()
+    feats = _fig_features(raster_salt)
     rows = (
         mentions_dev
         .join(gold.withColumn("_y", F.lit(1.0)), ["url", "src"], "left")
@@ -234,10 +242,11 @@ def fit_connector_lr(mentions_dev: DataFrame, gold: DataFrame,
 
 
 def predict_connector(mentions: DataFrame, model: dict,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      raster_salt: str = "") -> DataFrame:
     """Broadcast-weights inference as a column expression; keeps rows with
     p > threshold."""
-    feats = _fig_features()
+    feats = _fig_features(raster_salt)
     z = F.lit(model["b"])
     for wi, f in zip(model["w"], feats):
         z = z + F.lit(wi) * f
@@ -245,7 +254,7 @@ def predict_connector(mentions: DataFrame, model: dict,
     return mentions.withColumn("prob", prob).filter(F.col("prob") > threshold)
 
 
-def score_connectors(pages: DataFrame) -> dict:
+def score_connectors(pages: DataFrame, raster_salt: str = "") -> dict:
     """End-to-end connectors run over a pages corpus: figure scan ->
     planted media -> HasFigures -> LR (fit on dev docs) -> P/R on the
     disjoint test doc slice."""
@@ -259,8 +268,10 @@ def score_connectors(pages: DataFrame) -> dict:
     gold = connector_gold(figures)
 
     dev = is_dev_doc(F.col("url"))
-    model = fit_connector_lr(mentions.filter(dev), gold)
-    pred = predict_connector(mentions.filter(~dev), model)
+    model = fit_connector_lr(mentions.filter(dev), gold,
+                             raster_salt=raster_salt)
+    pred = predict_connector(mentions.filter(~dev), model,
+                             raster_salt=raster_salt)
 
     gold_test = gold.filter(~dev).join(
         mentions.filter(~dev).select("url", "src"), ["url", "src"],

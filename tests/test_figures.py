@@ -84,6 +84,20 @@ def test_connectors_e2e_gate(spark):
     assert abs(w[3]) == max(abs(v) for v in w)
 
 
+def test_connectors_gate_survives_raster_redraw(spark):
+    """VERDICT r4 #6: the gate must hold for a PERTURBED raster parameter
+    draw (different centers/radii/orientations/periods, same class bits) —
+    proof the conv features separate ring-vs-stripe structure in general,
+    not one hand-fit byte pattern. Two independent salts, both >= 0.9."""
+    pages, _, _ = corpus_to_dataframes(spark, generate_corpus(200, seed=42))
+    for salt in (":perturb1", ":perturb2"):
+        r = score_connectors(pages, raster_salt=salt)
+        assert r["precision"] >= 0.9 and r["recall"] >= 0.9, (salt, r)
+        # anisotropy stays the dominant negative signal under the redraw
+        w = r["model"]["w"]
+        assert w[3] < 0
+
+
 def test_connectors_cli(spark, tmp_path, capsys):
     import json
 
