@@ -897,6 +897,113 @@ def doc_sample(spark, sf):
     return out.select("doc_id", "split")
 
 
+def _decontaminate_sql(n: int = 8) -> str:
+    """DuckDB replay of dedup.decontaminate: benchmark = the first 12
+    normalized words of every doc_id %% 50 == 0 document, n-gram overlap
+    counted per training doc."""
+    m = n - 1
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+bs AS (SELECT DISTINCT array_to_string(words[i:i+{m}], ' ') AS shingle
+       FROM (SELECT words[1:12] AS words FROM w WHERE doc_id % 50 = 0) b,
+            unnest(generate_series(1, greatest(len(words) - {m}, 1)))
+              AS t(i)),
+ds AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+{m}], ' ')
+              AS shingle
+       FROM w, unnest(generate_series(1, greatest(len(words) - {m}, 1)))
+              AS t(i))
+SELECT doc_id, count(*) AS n_hits, min(shingle) AS first_hit
+FROM ds JOIN bs USING (shingle)
+GROUP BY doc_id
+"""
+
+
+@_q("doc_decontaminate", _decontaminate_sql())
+def doc_decontaminate(spark, sf):
+    """Benchmark decontamination (dedup.decontaminate — the n-gram
+    contamination rule of every pretraining recipe): eval 'benchmark' =
+    12-word prompts carved from every 50th document, training docs
+    sharing any 8-gram flagged with hit counts; broadcast map-side plan,
+    hash-checked vs the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.dedup import (decontaminate,
+                                                         norm_text)
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(norm_text(F.col("text")), " "), 1, 12),
+            " ").alias("text"))
+    return decontaminate(d, bench, n=8)
+
+
+def _pii_redact_sql(col: str) -> str:
+    """The redact_pii replacement chain over ``col``, in PII_PATTERNS
+    order."""
+    from tecs_hardware_kbc_spark.operators.textstats import PII_PATTERNS
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = f"regexp_replace({out}, '{pat}', '[PII]', 'g')"
+    return out
+
+
+def _redact_sql() -> str:
+    """DuckDB replay of textstats.redact_pii over deterministically
+    planted PII (the raw documents carry none — planting keeps the
+    oracle non-vacuous): counts from the original text, replacements
+    chained in PII_PATTERNS order."""
+    from tecs_hardware_kbc_spark.operators.textstats import PII_PATTERNS
+    email, ipv4, digits = (PII_PATTERNS["email"], PII_PATTERNS["ipv4"],
+                           PII_PATTERNS["long_digits"])
+    redact = _pii_redact_sql("t")
+    return f"""
+WITH p AS (SELECT doc_id,
+  CASE WHEN doc_id % 4 = 0
+         THEN text || ' contact user' || doc_id::varchar
+                   || '@example.com for details'
+       WHEN doc_id % 4 = 1
+         THEN text || ' server 10.0.' || (doc_id % 256)::varchar
+                   || '.7 responded'
+       WHEN doc_id % 4 = 2
+         THEN text || ' account ' || (9000000000 + doc_id)::varchar
+                   || ' closed'
+       ELSE text END AS t
+  FROM documents)
+SELECT doc_id, md5({redact}) AS redacted_md5,
+  len(regexp_extract_all(t, '{email}')) AS n_email,
+  len(regexp_extract_all(t, '{ipv4}')) AS n_ipv4,
+  len(regexp_extract_all(t, '{digits}')) AS n_long_digits
+FROM p
+"""
+
+
+@_q("doc_redact", _redact_sql())
+def doc_redact(spark, sf):
+    """PII redaction (textstats.redact_pii): emails / IPv4 / long digit
+    runs planted per doc_id residue, scrubbed to [PII] with per-category
+    counts; the redacted text (as md5) and every count hash-checked vs
+    the DuckDB regex replay — the patterns are restricted to the
+    Java-regex/RE2 common dialect precisely so this check is possible."""
+    from tecs_hardware_kbc_spark.operators.textstats import redact_pii
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    planted = (
+        F.when(did % 4 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        did.cast("string"),
+                        F.lit("@example.com for details")))
+        .when(did % 4 == 1,
+              F.concat(F.col("text"), F.lit(" server 10.0."),
+                       (did % 256).cast("string"), F.lit(".7 responded")))
+        .when(did % 4 == 2,
+              F.concat(F.col("text"), F.lit(" account "),
+                       (F.lit(9000000000) + did).cast("string"),
+                       F.lit(" closed")))
+        .otherwise(F.col("text")))
+    out = redact_pii(d.select("doc_id", planted.alias("text")))
+    return out.select("doc_id", F.md5("redacted").alias("redacted_md5"),
+                      "n_email", "n_ipv4", "n_long_digits")
+
+
 _RESAMPLE_MULTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 3.0}
 
 
@@ -1781,7 +1888,8 @@ def sim_lsh_topk(spark, sf):
 
 
 def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4,
-                       threshold: float = 0.5) -> str:
+                       threshold: float = 0.5,
+                       src: str = "documents") -> str:
     rows = num_hashes // bands
     hashes = ", ".join(
         f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::ubigint::bigint)"
@@ -1793,7 +1901,7 @@ def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4,
     eq = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
                     for i in range(num_hashes))
     return f"""
-WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM {src}),
 sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
        FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
 sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
@@ -1849,6 +1957,98 @@ def dedup_e2e(spark, sf):
     losers = comp.filter(F.col("doc_id") != F.col("canonical_id")) \
         .select("doc_id")
     return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+def _curate_sql() -> str:
+    """DuckDB replay of the ENTIRE curation funnel (curate.curate):
+    exact dedup -> minhash LSH + transitive-closure CC keeper -> language
+    keep-list -> quality gate -> PII redaction -> benchmark
+    decontamination -> split labels. Composed from the same SQL pieces
+    the per-operator oracles already prove; the one simplification is
+    that decontamination shingles the ORIGINAL text where Spark shingles
+    the redacted text — identical here because the raw documents carry
+    no PII (the redaction chain is a no-op on them, and doc_redact
+    checks the non-trivial case with planted PII)."""
+    from tecs_hardware_kbc_spark.operators.textstats import STOPWORDS
+    s = {lang: _stopword_ratio_sql(ws) for lang, ws in STOPWORDS.items()}
+    quality = f"""round((least(length(text) / 500.0, 1.0)
+      + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::double
+        / greatest(length(text), 1)
+      + least(({s['en']}) * 5, 1.0)
+      + CASE WHEN length(text)::double / greatest(len({_WORDS_SQL}), 1)
+             BETWEEN 3 AND 12 THEN 1.0::double ELSE 0.0::double END)
+      / 4.0, 6)"""
+    u_split = ("(('0x' || substr(md5(doc_id::varchar || ':split'), 1, 8))"
+               "::ubigint / 4294967296.0)")
+    return f"""
+WITH RECURSIVE
+fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+ek AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+d1 AS (SELECT d.* FROM documents d JOIN ek ON d.doc_id = ek.doc_id),
+pairs AS ({_minhash_pairs_sql(src="d1")}),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+          FROM reach GROUP BY u),
+d2 AS (SELECT d1.* FROM d1 LEFT JOIN canon c ON d1.doc_id = c.doc_id
+       WHERE c.doc_id IS NULL OR c.canonical_id = d1.doc_id),
+lang AS (SELECT doc_id,
+    CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'und'
+         WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+         WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS lang_pred
+  FROM (SELECT doc_id, {s['de']} AS s_de, {s['en']} AS s_en,
+               {s['fr']} AS s_fr FROM d2)),
+d3 AS (SELECT d2.* FROM d2 JOIN lang ON d2.doc_id = lang.doc_id
+       WHERE lang.lang_pred = 'en'),
+d4 AS (SELECT * FROM d3 WHERE {quality} >= 0.7),
+bench AS (SELECT ({_WORDS_SQL})[1:12] AS words
+          FROM documents WHERE doc_id % 50 = 0),
+bs AS (SELECT DISTINCT array_to_string(words[i:i+7], ' ') AS shingle
+       FROM bench,
+            unnest(generate_series(1, greatest(len(words) - 7, 1)))
+              AS t(i)),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, array_to_string(words[i:i+7], ' ') AS shingle
+        FROM (SELECT doc_id, {_WORDS_SQL} AS words FROM d4) dw,
+             unnest(generate_series(1, greatest(len(words) - 7, 1)))
+               AS t(i)) x
+  JOIN bs USING (shingle)),
+d5 AS (SELECT d4.* FROM d4 LEFT JOIN contaminated c
+       ON d4.doc_id = c.doc_id WHERE c.doc_id IS NULL)
+SELECT doc_id,
+  CASE WHEN {u_split} < 0.5 THEN 'train'
+       WHEN {u_split} < 0.75 THEN 'val' ELSE 'test' END AS split,
+  md5({_pii_redact_sql('text')}) AS redacted_md5
+FROM d5
+"""
+
+
+@_q("doc_curate", _curate_sql())
+def doc_curate(spark, sf):
+    """The end-to-end curation funnel (curate.curate — the `curate` CLI
+    subcommand's engine) over the documents table: exact + minhash-CC
+    dedup, 'en' keep-list, quality >= 0.7, PII redaction, benchmark
+    decontamination (the doc%%50 12-word prompts), 2/1/1 split — the
+    survivor set, every split label and the redacted-text md5
+    hash-checked against the composed DuckDB replay."""
+    from tecs_hardware_kbc_spark.curate import curate
+    from tecs_hardware_kbc_spark.operators.dedup import norm_text
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(norm_text(F.col("text")), " "), 1, 12),
+            " ").alias("text"))
+    curated, _ = curate(spark, d, benchmark=bench, min_quality=0.7,
+                        langs=["en"],
+                        splits={"train": 2, "val": 1, "test": 1})
+    return curated.select("doc_id", "split",
+                          F.md5("text").alias("redacted_md5"))
 
 
 def _media_sql() -> str:

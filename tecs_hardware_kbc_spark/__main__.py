@@ -52,6 +52,23 @@ def main(argv: list[str] | None = None) -> int:
              "classifier P/R (reference circular_connectors.py)")
     c.add_argument("--pages", required=True)
 
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet -> curated training corpus (exact + "
+             "near-dup dedup, language/quality gates, PII redaction, "
+             "optional benchmark decontamination, deterministic "
+             "sample/split; prints the per-stage funnel)")
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--benchmark", default=None,
+                    help="eval benchmark parquet (doc_id, text) to "
+                         "decontaminate against")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--langs", default=None,
+                    help="comma-separated language keep-list (heuristic "
+                         "language_id, e.g. en,de)")
+    cu.add_argument("--sample", type=float, default=1.0)
+
     s = sub.add_parser("ingest", help="stream-ingest new page files")
     s.add_argument("--in", dest="input", required=True)
     s.add_argument("--out", required=True)
@@ -113,6 +130,18 @@ def main(argv: list[str] | None = None) -> int:
             score_connectors)
         r = score_connectors(spark.read.parquet(args.pages))
         print(json.dumps(r))
+        return 0
+
+    if args.cmd == "curate":
+        from tecs_hardware_kbc_spark.curate import curate_to_parquet
+        funnel = curate_to_parquet(
+            spark, args.docs, args.out,
+            benchmark_path=args.benchmark,
+            min_quality=args.min_quality,
+            langs=args.langs.split(",") if args.langs else None,
+            sample_fraction=args.sample,
+        )
+        print(json.dumps(funnel))
         return 0
 
     if args.cmd == "ingest":

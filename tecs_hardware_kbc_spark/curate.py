@@ -1,0 +1,118 @@
+"""The training-data curation recipe: documents in, training corpus out.
+
+Composes the engine's LLM-pipeline operators into the standard web-text
+curation funnel — the end-to-end job a pretraining data team actually
+submits, with per-stage row accounting so every drop is attributable:
+
+    exact dedup -> near-dup dedup (minhash LSH + connected components,
+    keep-one-per-group) -> language keep-list -> quality gate -> PII
+    redaction -> optional benchmark decontamination -> deterministic
+    sample -> train/val/test split -> parquet partitioned by split
+
+Every stage is one of the independently oracle-checked operators
+(`dedup.py`, `textstats.py`, `sampling.py`); this module only wires
+them, so the funnel inherits their scale postures: the corpus shuffles
+once for exact dedup (fingerprint), once for the minhash bands, once
+for the CC iterations — everything else (filters, redaction, sampling,
+splitting) is narrow projections, and the benchmark side of
+decontamination is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def curate(spark: SparkSession, docs: DataFrame,
+           benchmark: DataFrame | None = None,
+           min_quality: float = 0.3,
+           langs: list[str] | None = None,
+           sample_fraction: float = 1.0,
+           splits: dict[str, float] | None = None,
+           near_dup_threshold: float = 0.5,
+           decontam_n: int = 8) -> tuple[DataFrame, dict]:
+    """Run the curation funnel over ``docs`` (doc_id, text, ...).
+
+    Returns ``(curated, funnel)``: the curated DataFrame (original
+    columns, ``text`` replaced by its redacted form, plus ``split``) and
+    a funnel dict of per-stage surviving row counts.
+
+    The funnel counts force one action per stage; at corpus scale run
+    with them (they are cheap counts over already-needed intermediates)
+    or lift the stages directly if stage accounting is not wanted."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        decontaminate, exact_duplicates, minhash_near_duplicates,
+        near_duplicate_components)
+    from tecs_hardware_kbc_spark.operators.sampling import (
+        sample_by_hash, split_by_hash)
+    from tecs_hardware_kbc_spark.operators.textstats import (
+        language_id, quality_score, redact_pii)
+
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    funnel: dict[str, int] = {"input": docs.count()}
+
+    # 1. exact dedup: keep the canonical row of every fingerprint group
+    exact = exact_duplicates(docs)
+    keep = exact.filter(F.col("doc_id") == F.col("canonical_id")) \
+        .select("doc_id")
+    cur = docs.join(keep, "doc_id", "left_semi")
+    funnel["exact_dedup"] = cur.count()
+
+    # 2. near-dup dedup: banded minhash pairs -> CC -> keep min per group
+    pairs = minhash_near_duplicates(cur, threshold=near_dup_threshold)
+    comp = near_duplicate_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("canonical_id")) \
+        .select("doc_id")
+    cur = cur.join(losers, "doc_id", "left_anti")
+    funnel["near_dedup"] = cur.count()
+
+    # 3. language keep-list (heuristic language_id, not the lang column —
+    #    a crawl's self-declared language lies)
+    if langs:
+        lid = language_id(cur).select("doc_id", "lang_pred")
+        cur = cur.join(lid, "doc_id").filter(
+            F.col("lang_pred").isin(list(langs))).drop("lang_pred")
+        funnel["lang_filter"] = cur.count()
+
+    # 4. quality gate
+    q = quality_score(cur).select("doc_id", "quality")
+    cur = cur.join(q, "doc_id").filter(
+        F.col("quality") >= F.lit(float(min_quality))).drop("quality")
+    funnel["quality_gate"] = cur.count()
+
+    # 5. PII redaction (text is REPLACED by its redacted form)
+    red = redact_pii(cur).select("doc_id", "redacted")
+    cur = cur.join(red, "doc_id") \
+        .withColumn("text", F.col("redacted")).drop("redacted")
+    funnel["pii_redacted"] = funnel["quality_gate"]  # row-preserving
+
+    # 6. benchmark decontamination: drop any doc sharing an n-gram
+    if benchmark is not None:
+        contaminated = decontaminate(cur, benchmark, n=decontam_n) \
+            .select("doc_id")
+        cur = cur.join(contaminated, "doc_id", "left_anti")
+        funnel["decontaminated"] = cur.count()
+
+    # 7. deterministic sample + split
+    if sample_fraction < 1.0:
+        cur = sample_by_hash(cur, "doc_id", sample_fraction)
+        funnel["sampled"] = cur.count()
+    cur = split_by_hash(cur, "doc_id", splits)
+    funnel["output"] = funnel.get("sampled",
+                                  funnel.get("decontaminated",
+                                             funnel["quality_gate"]))
+    return cur, funnel
+
+
+def curate_to_parquet(spark: SparkSession, docs_path: str, out_dir: str,
+                      benchmark_path: str | None = None,
+                      **kwargs) -> dict:
+    """CLI surface: parquet in -> curated parquet (partitioned by split)
+    out, returns the funnel stats."""
+    docs = spark.read.parquet(docs_path)
+    bench = (spark.read.parquet(benchmark_path)
+             if benchmark_path else None)
+    curated, funnel = curate(spark, docs, benchmark=bench, **kwargs)
+    curated.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    return funnel

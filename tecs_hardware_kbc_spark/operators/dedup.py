@@ -17,7 +17,10 @@ hashes are md5-derived so a SQL oracle can reproduce them bit-for-bit):
                    self-join (the verification path for small candidate
                    sets; quadratic only within shingle groups);
 * embedding cosine — near-dup pairs over an embedding column, brute-force
-                   (baseline) or via random-hyperplane LSH buckets (scale).
+                   (baseline) or via random-hyperplane LSH buckets (scale);
+* decontaminate  — benchmark decontamination: flag training docs sharing
+                   any word n-gram with an eval benchmark (broadcast the
+                   benchmark's shingles; the corpus side never shuffles).
 
 At 10^12 docs: exact/minhash/simhash are one-or-two-shuffle plans keyed by
 hash/bucket (never by document pair); frequency-capped shingles (``df_cap``)
@@ -73,6 +76,37 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle")
     ).dropDuplicates()
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: one row per training document that
+    shares at least one word ``n``-gram with the evaluation benchmark —
+    the n-gram-overlap contamination rule every serious pretraining
+    recipe applies before training (GPT-3 appendix C popularized the
+    13-gram form; n is a knob).
+
+    Output: (doc_id, n_hits, first_hit) — overlap count of DISTINCT
+    shingles and the lexicographically first overlapping shingle for
+    audit.
+
+    Plan: shingle both sides with the same normalization
+    (``word_shingles``), deduplicate the benchmark side and BROADCAST it
+    — a benchmark is thousands of prompts, never corpus-scale, so its
+    distinct shingle set is a few MB. The corpus side then hits a
+    map-side broadcast join: at 100 TB the training corpus never
+    shuffles for this check; the only aggregation is the per-doc hit
+    count, partially aggregated map-side."""
+    doc_sh = word_shingles(docs, id_col, text_col, n=n)
+    bench_sh = (word_shingles(benchmark, bench_id_col, bench_text_col, n=n)
+                .select("shingle").distinct())
+    hits = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("shingle").alias("first_hit"))
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:

@@ -208,3 +208,35 @@ def test_near_duplicate_components(spark):
             for r in near_duplicate_components(pairs).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[9] == 7
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from tecs_hardware_kbc_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (1, "one two three four five six seven eight nine ten"),
+         (2, "unrelated words entirely different from anything else here")],
+        "doc_id int, text string")
+    # benchmark contains doc 0's 3-gram "gamma delta epsilon" and nothing
+    # from docs 1/2
+    bench = spark.createDataFrame(
+        [(100, "prefix gamma delta epsilon suffix")],
+        "doc_id int, text string")
+    out = decontaminate(docs, bench, n=3).collect()
+    flagged = {r["doc_id"]: r for r in out}
+    assert set(flagged) == {0}
+    assert flagged[0]["n_hits"] >= 1
+    assert "gamma delta epsilon" in {r["first_hit"] for r in out} or \
+        flagged[0]["n_hits"] > 1
+
+    # normalization: case/whitespace differences still match
+    bench2 = spark.createDataFrame(
+        [(101, "  GAMMA   Delta EPSILON  ")], "doc_id int, text string")
+    out2 = decontaminate(docs, bench2, n=3).collect()
+    assert {r["doc_id"] for r in out2} == {0}
+
+    # the benchmark side is broadcast (map-side plan, no corpus shuffle)
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -154,3 +154,79 @@ def test_stateful_ttl_unit():
     st = _FakeState()
     list(upd0(("u",), iter([pd.DataFrame({"warc_ts": [ts]})]), st))
     assert st.timeout_ms is None
+
+
+def test_crawl_rate_windowed_watermark(spark, tmp_path_factory):
+    """Event-time windowed counts under a watermark: closed windows emit
+    exactly once (append mode), open tail windows stay in state, and a
+    row later than the checkpointed watermark is dropped, not re-opened."""
+    import datetime as dt
+
+    from pyspark.sql.types import (StringType, StructField, StructType,
+                                   TimestampType)
+
+    from tecs_hardware_kbc_spark.streaming.windows import crawl_rate
+
+    base = tmp_path_factory.mktemp("cr")
+    landing = str(base / "landing")
+    out = str(base / "rates")
+    ckpt = str(base / "ckpt")
+
+    schema = StructType([
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+    ])
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(landing)
+        (crawl_rate(stream, "1 hour", allowed_lateness="2 hours")
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda b, i: b.write.mode("append").parquet(out))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+        try:
+            return {(r["domain"], r["window_start"], r["n_crawls"])
+                    for r in spark.read.parquet(out).collect()}
+        except Exception:
+            return set()  # nothing emitted yet
+
+    spark.createDataFrame(
+        [("http://a.com/1", ts(0, 10)), ("http://a.com/2", ts(0, 20)),
+         ("http://a.com/1", ts(1, 10)), ("http://b.org/x", ts(0, 30)),
+         ("http://b.org/y", ts(5, 30))], schema
+    ).write.mode("append").parquet(landing)
+    drain()  # sets the checkpointed watermark to 05:30 - 2h = 03:30
+
+    # batch 2: a fresh row (advances event time) + a LATE row for the
+    # already-closed 00:00 window — beyond the watermark, must be dropped
+    spark.createDataFrame(
+        [("http://a.com/3", ts(6, 10)), ("http://a.com/9", ts(0, 40))],
+        schema
+    ).write.mode("append").parquet(landing)
+    got = drain()
+
+    # windows with end <= 03:30 emitted with pre-late-row counts
+    assert ("a.com", ts(0), 2) in got
+    assert ("a.com", ts(1), 1) in got
+    assert ("b.org", ts(0), 1) in got
+    # the late row did NOT reopen the 00:00 window (no count-3 version)
+    assert ("a.com", ts(0), 3) not in got
+    # open tail windows (05:00 b, 06:00 a) are withheld, still in state
+    domains_open = {(d, s) for (d, s, _) in got}
+    assert ("b.org", ts(5)) not in domains_open
+    assert ("a.com", ts(6)) not in domains_open
+
+    # the SAME operator over the data as a batch frame is the oracle for
+    # the closed windows' counts (minus the dropped late row)
+    batch = spark.createDataFrame(
+        [("http://a.com/1", ts(0, 10)), ("http://a.com/2", ts(0, 20)),
+         ("http://a.com/1", ts(1, 10)), ("http://b.org/x", ts(0, 30)),
+         ("http://b.org/y", ts(5, 30))], schema)
+    oracle = {(r["domain"], r["window_start"], r["n_crawls"])
+              for r in crawl_rate(batch).collect()
+              if r["window_end"] <= ts(3, 30)}
+    assert oracle == got

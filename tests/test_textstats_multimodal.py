@@ -187,3 +187,25 @@ def test_media_plans(spark, media):
     assert frames.filter(F.col("frame_idx") < 0).count() == 0
     rs = resize_spec(feats, target=224).collect()
     assert all(min(r["resized_w"], r["resized_h"]) == 224 for r in rs)
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from tecs_hardware_kbc_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail a.b-c_9@sub.example.co and x@y.io today"),
+         (1, "host 192.168.001.7 then acct 12345678901 end"),
+         (2, "clean text with no sensitive content at all"),
+         (3, "short 12345678 is fine but 123456789 is not")],
+        "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+
+    assert rows[0]["n_email"] == 2
+    assert rows[0]["redacted"] == "mail [PII] and [PII] today"
+    assert rows[1]["n_ipv4"] == 1 and rows[1]["n_long_digits"] == 1
+    assert rows[1]["redacted"] == "host [PII] then acct [PII] end"
+    assert rows[2]["redacted"] == "clean text with no sensitive content at all"
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"],
+            rows[2]["n_long_digits"]) == (0, 0, 0)
+    # 8-digit run survives, 9-digit run is scrubbed (word-boundary rule)
+    assert rows[3]["redacted"] == "short 12345678 is fine but [PII] is not"
