@@ -1004,6 +1004,224 @@ def doc_redact(spark, sf):
                       "n_email", "n_ipv4", "n_long_digits")
 
 
+# planted line structure shared by doc_repetition / doc_gopher: the raw
+# documents are single-line, so line-level signals (dup lines, bullets,
+# ellipses) need deterministic planting to be non-vacuous
+_PLANT_LINES_SQL = """
+  CASE WHEN doc_id % 3 = 0
+         THEN text || chr(10) || 'alpha beta gamma'
+                   || chr(10) || 'alpha beta gamma'
+                   || chr(10) || '- bullet point line'
+                   || chr(10) || 'end of doc...'
+       WHEN doc_id % 3 = 1
+         THEN text || chr(10) || '- first item'
+                   || chr(10) || '- second item'
+                   || chr(10) || 'tail line...'
+       ELSE text END"""
+
+
+def _plant_lines_col():
+    did = F.col("doc_id")
+    nl = "\n"
+    return (
+        F.when(did % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(nl + "alpha beta gamma"
+                              + nl + "alpha beta gamma"
+                              + nl + "- bullet point line"
+                              + nl + "end of doc...")))
+        .when(did % 3 == 1,
+              F.concat(F.col("text"),
+                       F.lit(nl + "- first item"
+                             + nl + "- second item"
+                             + nl + "tail line...")))
+        .otherwise(F.col("text")))
+
+
+def _repetition_sql() -> str:
+    """DuckDB replay of textstats.repetition_stats over the planted
+    lines: lines/words via list lambdas, adjacent-dup char sums over
+    sorted lists ((count-1)*len per distinct value), top-n-gram by
+    (count desc, gram asc) via unnest + window."""
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    base = f"""
+b AS (SELECT doc_id, {_PLANT_LINES_SQL} AS t FROM documents),
+w AS (SELECT doc_id, t,
+             string_split({norm}, ' ') AS words,
+             greatest(length({norm}), 1) AS denom,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS lines
+      FROM b)"""
+    dup = ("coalesce(list_sum(list_transform(range(2, len({g}) + 1), "
+           "i -> CASE WHEN {g}[i] = {g}[i-1] THEN length({g}[i]) "
+           "ELSE 0 END)), 0)")
+    gram = ("CASE WHEN len(words) < {n} THEN [] "
+            "ELSE list_transform(range(1, len(words) - {n} + 2), "
+            "i -> array_to_string(words[i:i+{m}], ' ')) END")
+    tops = []
+    top_joins = []
+    for n in (2, 3, 4):
+        g = gram.format(n=n, m=n - 1)
+        tops.append(f"""
+t{n} AS (SELECT doc_id, cnt * length(gram) AS chars FROM (
+    SELECT doc_id, gram, count(*) AS cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (SELECT doc_id, unnest({g}) AS gram FROM w)
+    GROUP BY doc_id, gram) WHERE rn = 1)""")
+        top_joins.append(
+            f"round(least(coalesce(t{n}.chars, 0) / denom, 1.0), 6)"
+            f" AS top_{n}gram_char_frac")
+    dups = []
+    for n in (5, 6, 7, 8, 9, 10):
+        g = f"list_sort({gram.format(n=n, m=n - 1)})"
+        dups.append(f"round(least(({dup.format(g=g)}) / denom, 1.0), 6)"
+                    f" AS dup_{n}gram_char_frac")
+    sl = "list_sort(lines)"
+    line_chars = ("coalesce(list_sum(list_transform(lines, "
+                  "l -> length(l))), 0)")
+    return f"""
+WITH {base},{",".join(tops)}
+SELECT w.doc_id, len(lines) AS n_lines,
+  round(CASE WHEN len(lines) > 0
+             THEN (len(lines) - len(list_distinct(lines))) / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+  round(CASE WHEN {line_chars} > 0
+             THEN ({dup.format(g=sl)}) / {line_chars}
+             ELSE 0.0 END, 6) AS dup_line_char_frac,
+  {", ".join(top_joins)},
+  {", ".join(dups)}
+FROM w LEFT JOIN t2 ON w.doc_id = t2.doc_id
+       LEFT JOIN t3 ON w.doc_id = t3.doc_id
+       LEFT JOIN t4 ON w.doc_id = t4.doc_id
+"""
+
+
+@_q("doc_repetition", _repetition_sql())
+def doc_repetition(spark, sf):
+    """Gopher repetition signals (textstats.repetition_stats): dup-line
+    fraction/chars, top-2/3/4-gram char coverage, dup-5..10-gram char
+    fraction — computed shuffle-free via sorted-array run-length folds,
+    every column hash-checked against the DuckDB list-lambda replay.
+    Line structure (dups, bullets, ellipses) planted per doc_id %% 3."""
+    from tecs_hardware_kbc_spark.operators.textstats import repetition_stats
+    d = _t(spark, sf, "documents")
+    return repetition_stats(
+        d.select("doc_id", _plant_lines_col().alias("text")))
+
+
+def _gopher_sql() -> str:
+    from tecs_hardware_kbc_spark.operators.textstats import (
+        REQUIRED_STOPWORDS)
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    req = "[" + ", ".join(f"'{w}'" for w in REQUIRED_STOPWORDS) + "]"
+    return f"""
+WITH b AS (SELECT doc_id, {_PLANT_LINES_SQL} AS t FROM documents),
+w AS (SELECT doc_id, t, string_split({norm}, ' ') AS words,
+             replace({norm}, ' ', '') AS squeezed,
+             list_filter(list_transform(string_split(t, chr(10)),
+                                        l -> trim(l)),
+                         l -> l <> '') AS lines
+      FROM b),
+s AS (SELECT doc_id,
+  len(words) AS n_words,
+  round(length(squeezed) / greatest(len(words), 1), 6) AS mean_word_len,
+  round((len(regexp_extract_all(t, '#'))
+         + len(regexp_extract_all(t, '\\.\\.\\.')))
+        / greatest(len(words), 1), 6) AS symbol_ratio,
+  round(len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣]')))
+        / greatest(len(lines), 1), 6) AS bullet_line_frac,
+  round(len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+        / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+  round(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+        / greatest(len(words), 1), 6) AS alpha_word_frac,
+  len(list_intersect(list_distinct(words), {req})) AS n_req_stopwords
+  FROM w)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3.0 AND 10.0
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8
+   AND n_req_stopwords >= 2) AS gopher_keep
+FROM s
+"""
+
+
+@_q("doc_gopher", _gopher_sql())
+def doc_gopher(spark, sf):
+    """The Gopher quality rule set (textstats.gopher_quality) at the
+    paper thresholds over the line-planted documents: every signal
+    column AND the composite keep verdict (non-vacuous: word counts
+    10-99 straddle the >=50 rule; planted bullets/ellipses exercise the
+    line rules) hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.textstats import gopher_quality
+    d = _t(spark, sf, "documents")
+    return gopher_quality(
+        d.select("doc_id", _plant_lines_col().alias("text")))
+
+
+def _para_dedup_sql() -> str:
+    """DuckDB replay of dedup.paragraph_dedup over planted paragraphs:
+    unnest with index, row_number over the normalized-paragraph md5
+    ordered by (doc_id, idx), ordered string_agg rebuild."""
+    pnorm = "trim(regexp_replace(lower(para), '\\s+', ' ', 'g'))"
+    return f"""
+WITH b AS (SELECT doc_id,
+    text || chr(10) || chr(10)
+         || 'shared passage number ' || (doc_id % 7)::varchar
+         || chr(10) || chr(10) || 'unique tail ' || doc_id::varchar
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || chr(10)
+                      || 'unique tail ' || doc_id::varchar
+                 ELSE '' END AS t
+    FROM documents),
+p AS (SELECT doc_id, i, parts[i] AS para
+      FROM (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts
+            FROM b),
+           unnest(generate_series(1, len(parts))) AS u(i)
+      WHERE trim(parts[i]) <> ''),
+k AS (SELECT doc_id, i, para,
+             row_number() OVER (PARTITION BY md5({pnorm})
+                                ORDER BY doc_id, i) AS rn
+      FROM p),
+r AS (SELECT doc_id,
+             string_agg(para, chr(10) || chr(10) ORDER BY i)
+               AS text_dedup,
+             count(*) AS n_paras_kept
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT b.doc_id, md5(coalesce(r.text_dedup, '')) AS dedup_md5,
+       coalesce(r.n_paras_kept, 0) AS n_paras_kept
+FROM b LEFT JOIN r ON b.doc_id = r.doc_id
+"""
+
+
+@_q("doc_para_dedup", _para_dedup_sql())
+def doc_para_dedup(spark, sf):
+    """Corpus-wide paragraph dedup (dedup.paragraph_dedup — the
+    CCNet/C4 boilerplate killer): a 'shared passage' paragraph planted
+    per doc_id %% 7 (so exactly 7 docs keep one corpus-wide) plus an
+    intra-doc duplicate tail every 5th doc; the rebuilt text (as md5)
+    and kept-paragraph counts hash-checked against the DuckDB
+    window-replay. First occurrence = smallest (doc_id, idx)."""
+    from tecs_hardware_kbc_spark.operators.dedup import paragraph_dedup
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    sep = "\n\n"
+    planted = F.concat(
+        F.col("text"), F.lit(sep + "shared passage number "),
+        (did % 7).cast("string"),
+        F.lit(sep + "unique tail "), did.cast("string"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(sep + "unique tail "), did.cast("string")))
+        .otherwise(F.lit("")))
+    out = paragraph_dedup(d.select("doc_id", planted.alias("text")))
+    return out.select("doc_id", F.md5("text_dedup").alias("dedup_md5"),
+                      "n_paras_kept")
+
+
 _RESAMPLE_MULTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 3.0}
 
 

@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "media_augment_policy",
     "media_conv",
 ]
+# doc_curate (the composed funnel) is deliberately NOT a headline query:
+# its cost is the sum of components already benched above (minhash bands,
+# CC, quality/redact scans) and would only add an 18s constant to the
+# suite total. One-off funnel timings live in BENCH.md.
 
 
 def _sf_label() -> str:

@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated language keep-list (heuristic "
                          "language_id, e.g. en,de)")
     cu.add_argument("--sample", type=float, default=1.0)
+    cu.add_argument("--dedup-paragraphs", action="store_true",
+                    help="also remove duplicate paragraphs corpus-wide "
+                         "(CCNet/C4 boilerplate pass)")
+    cu.add_argument("--gopher", action="store_true",
+                    help="also apply the Gopher outlier rule set")
 
     s = sub.add_parser("ingest", help="stream-ingest new page files")
     s.add_argument("--in", dest="input", required=True)
@@ -140,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             langs=args.langs.split(",") if args.langs else None,
             sample_fraction=args.sample,
+            dedup_paragraphs=args.dedup_paragraphs,
+            gopher_rules=args.gopher,
         )
         print(json.dumps(funnel))
         return 0

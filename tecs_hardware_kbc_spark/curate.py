@@ -5,7 +5,8 @@ curation funnel — the end-to-end job a pretraining data team actually
 submits, with per-stage row accounting so every drop is attributable:
 
     exact dedup -> near-dup dedup (minhash LSH + connected components,
-    keep-one-per-group) -> language keep-list -> quality gate -> PII
+    keep-one-per-group) -> [corpus-wide paragraph dedup] -> language
+    keep-list -> quality gate -> [Gopher outlier rules] -> PII
     redaction -> optional benchmark decontamination -> deterministic
     sample -> train/val/test split -> parquet partitioned by split
 
@@ -31,7 +32,10 @@ def curate(spark: SparkSession, docs: DataFrame,
            sample_fraction: float = 1.0,
            splits: dict[str, float] | None = None,
            near_dup_threshold: float = 0.5,
-           decontam_n: int = 8) -> tuple[DataFrame, dict]:
+           decontam_n: int = 8,
+           dedup_paragraphs: bool = False,
+           gopher_rules: bool = False,
+           gopher_kwargs: dict | None = None) -> tuple[DataFrame, dict]:
     """Run the curation funnel over ``docs`` (doc_id, text, ...).
 
     Returns ``(curated, funnel)``: the curated DataFrame (original
@@ -43,29 +47,48 @@ def curate(spark: SparkSession, docs: DataFrame,
     or lift the stages directly if stage accounting is not wanted."""
     from tecs_hardware_kbc_spark.operators.dedup import (
         decontaminate, exact_duplicates, minhash_near_duplicates,
-        near_duplicate_components)
+        near_duplicate_components, paragraph_dedup)
     from tecs_hardware_kbc_spark.operators.sampling import (
         sample_by_hash, split_by_hash)
     from tecs_hardware_kbc_spark.operators.textstats import (
-        language_id, quality_score, redact_pii)
+        gopher_quality, language_id, quality_score, redact_pii)
 
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
     funnel: dict[str, int] = {"input": docs.count()}
 
+    # The expensive stages (fingerprint groupBy, minhash banding + CC,
+    # benchmark shingle join) each reduce to a SMALL doc_id set; persist
+    # THOSE — not the corpus — so every downstream count/action replays
+    # them from cache instead of re-running the whole dedup lineage
+    # (without this, the funnel's N counts re-execute minhash+CC N
+    # times). Persisting ID sets is the scale-correct variant of the
+    # cache: O(#docs) longs, never the 100 TB of text.
+
     # 1. exact dedup: keep the canonical row of every fingerprint group
     exact = exact_duplicates(docs)
     keep = exact.filter(F.col("doc_id") == F.col("canonical_id")) \
-        .select("doc_id")
+        .select("doc_id").persist()
     cur = docs.join(keep, "doc_id", "left_semi")
-    funnel["exact_dedup"] = cur.count()
+    funnel["exact_dedup"] = keep.count()
 
     # 2. near-dup dedup: banded minhash pairs -> CC -> keep min per group
     pairs = minhash_near_duplicates(cur, threshold=near_dup_threshold)
     comp = near_duplicate_components(pairs)
     losers = comp.filter(F.col("doc_id") != F.col("canonical_id")) \
-        .select("doc_id")
+        .select("doc_id").persist()
     cur = cur.join(losers, "doc_id", "left_anti")
-    funnel["near_dedup"] = cur.count()
+    funnel["near_dedup"] = funnel["exact_dedup"] - losers.count()
+
+    # 2b (optional). corpus-wide paragraph dedup: boilerplate paragraphs
+    # survive once corpus-wide; docs reduced to nothing are dropped here
+    if dedup_paragraphs:
+        pd = paragraph_dedup(cur)
+        cur = (cur.drop("text")
+               .join(pd.filter(F.col("n_paras_kept") > 0)
+                       .select("doc_id",
+                               F.col("text_dedup").alias("text")),
+                     "doc_id"))
+        funnel["para_dedup"] = cur.count()
 
     # 3. language keep-list (heuristic language_id, not the lang column —
     #    a crawl's self-declared language lies)
@@ -81,27 +104,36 @@ def curate(spark: SparkSession, docs: DataFrame,
         F.col("quality") >= F.lit(float(min_quality))).drop("quality")
     funnel["quality_gate"] = cur.count()
 
+    # 4b (optional). the Gopher outlier rule set (word count, word
+    # length, symbol/bullet/ellipsis ratios, required stopwords)
+    if gopher_rules:
+        g = gopher_quality(cur, **(gopher_kwargs or {}))
+        cur = cur.join(g.filter(F.col("gopher_keep"))
+                       .select("doc_id"), "doc_id", "left_semi")
+        funnel["gopher_gate"] = cur.count()
+
     # 5. PII redaction (text is REPLACED by its redacted form)
+    n_cur = funnel.get("gopher_gate", funnel["quality_gate"])
     red = redact_pii(cur).select("doc_id", "redacted")
     cur = cur.join(red, "doc_id") \
         .withColumn("text", F.col("redacted")).drop("redacted")
-    funnel["pii_redacted"] = funnel["quality_gate"]  # row-preserving
+    funnel["pii_redacted"] = n_cur  # row-preserving
 
     # 6. benchmark decontamination: drop any doc sharing an n-gram
     if benchmark is not None:
         contaminated = decontaminate(cur, benchmark, n=decontam_n) \
-            .select("doc_id")
+            .select("doc_id").persist()
         cur = cur.join(contaminated, "doc_id", "left_anti")
-        funnel["decontaminated"] = cur.count()
+        n_cur -= contaminated.count()
+        funnel["decontaminated"] = n_cur
 
     # 7. deterministic sample + split
     if sample_fraction < 1.0:
         cur = sample_by_hash(cur, "doc_id", sample_fraction)
-        funnel["sampled"] = cur.count()
+        n_cur = cur.count()
+        funnel["sampled"] = n_cur
     cur = split_by_hash(cur, "doc_id", splits)
-    funnel["output"] = funnel.get("sampled",
-                                  funnel.get("decontaminated",
-                                             funnel["quality_gate"]))
+    funnel["output"] = n_cur
     return cur, funnel
 
 

@@ -20,7 +20,10 @@ hashes are md5-derived so a SQL oracle can reproduce them bit-for-bit):
                    (baseline) or via random-hyperplane LSH buckets (scale);
 * decontaminate  — benchmark decontamination: flag training docs sharing
                    any word n-gram with an eval benchmark (broadcast the
-                   benchmark's shingles; the corpus side never shuffles).
+                   benchmark's shingles; the corpus side never shuffles);
+* paragraph_dedup — corpus-wide duplicate-paragraph removal (CCNet/C4
+                   boilerplate killer): explode -> fingerprint window ->
+                   rebuild, both shuffles keyed by hash-distributed keys.
 
 At 10^12 docs: exact/minhash/simhash are one-or-two-shuffle plans keyed by
 hash/bucket (never by document pair); frequency-capped shingles (``df_cap``)
@@ -62,6 +65,57 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
     return fp.join(canon, "fingerprint").select("doc_id", "canonical_id",
                                                 "fingerprint")
+
+
+def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    sep: str = "\n\n") -> DataFrame:
+    """CORPUS-WIDE duplicate-paragraph removal (the CCNet/C4 move:
+    boilerplate — nav bars, license blurbs, cookie banners — repeats
+    across pages, so dedup at paragraph granularity, not document).
+
+    Returns one row per input document: (doc_id, text_dedup,
+    n_paras_kept) where ``text_dedup`` rejoins (with ``sep``) only the
+    paragraphs whose normalized md5 fingerprint FIRST occurs in this
+    document — first = smallest (doc_id, paragraph index), so the result
+    is deterministic and every repeated paragraph survives exactly once
+    corpus-wide. Documents whose every paragraph lost keep their row
+    with empty text (let the downstream quality gate drop them — the
+    funnel accounting stays row-attributable).
+
+    Plan: posexplode -> row_number window keyed by the paragraph
+    fingerprint -> re-group by doc_id. Two shuffles, BOTH keyed by
+    high-cardinality hash-distributed keys (fingerprint, then doc_id) —
+    never by document pair; at 100 TB the fingerprint shuffle is the
+    same shape as exact dedup's and AQE handles the boilerplate hot
+    fingerprints (millions of rows for one cookie banner) the same way
+    the candidate join handles hot parts: they collapse to one surviving
+    row per fingerprint at the window, not a join explosion."""
+    from pyspark.sql import Window
+
+    paras = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(F.col(text_col), sep))
+                    .alias("idx", "para"))
+        .filter(F.trim(F.col("para")) != "")
+        .withColumn("fp", F.md5(norm_text(F.col("para"))))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                        lambda s: s["para"]),
+            sep).alias("text_dedup"),
+        F.count("*").alias("n_paras_kept"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"))
+    )
 
 
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",

@@ -9,7 +9,16 @@
   min-hash fingerprint set;
 * ``redact_pii``    — pattern-based PII scrubbing (emails, IPv4, long
   digit runs) with per-category counts — the redaction gate a web-text
-  corpus passes through before training.
+  corpus passes through before training;
+* ``repetition_stats`` — the Gopher repetition signals (Rae et al. 2021,
+  table A1): duplicate-line fraction, duplicate-line character fraction,
+  top-n-gram character fraction (n=2..4) and duplicate-n-gram character
+  fraction (n=5..10), all computed per document via sorted-array
+  run-length folds — no explode, no shuffle;
+* ``gopher_quality`` — the Gopher outlier-removal rule set (word count,
+  mean word length, symbol-to-word ratio, bullet/ellipsis line
+  fractions, alphabetic-word fraction, required-stopword count) as one
+  narrow projection with a composite ``gopher_keep`` verdict.
 
 Everything is expressible as one select over the documents table — no
 shuffle at all until an aggregation is asked for.
@@ -133,6 +142,171 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         wlen_component.alias("word_len_score"),
         F.round((len_component + alpha_ratio + sw_component + wlen_component)
                 / 4.0, 6).alias("quality"),
+    )
+
+
+def _trimmed_lines(text) -> Column:
+    """Non-empty trimmed lines of the RAW text (norm_text collapses
+    newlines, so line-level signals must precede normalization)."""
+    return F.filter(F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+                    lambda l: l != "")
+
+
+def _word_grams(words, n: int) -> Column:
+    """All word n-grams as space-joined strings; empty when the document
+    is shorter than n words."""
+    return F.when(F.size(words) < n,
+                  F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+
+
+def _adjacent_dup_chars(sorted_arr) -> Column:
+    """Sum of lengths over occurrences BEYOND the first of each repeated
+    value in a sorted array — i.e. sum((count-1) * len) per distinct
+    value. This is the deterministic surrogate for Gopher's "characters
+    contained in duplicates" (which char-marks overlapping spans); the
+    surrogate is monotone in repetition and exactly SQL-replayable."""
+    return F.when(F.size(sorted_arr) < 2, F.lit(0)).otherwise(
+        F.aggregate(
+            F.zip_with(F.slice(sorted_arr, 1, F.size(sorted_arr) - 1),
+                       F.slice(sorted_arr, 2, F.size(sorted_arr) - 1),
+                       lambda a, b: F.when(a == b,
+                                           F.length(b)).otherwise(F.lit(0))),
+            F.lit(0), lambda acc, x: acc + x))
+
+
+def _top_run(sorted_arr) -> Column:
+    """struct(cnt, gram): the most frequent value of a sorted array and
+    its count; ties broken toward the lexicographically smallest value
+    (the first run to reach the maximum, since runs complete in sorted
+    order and a later equal-length run never strictly exceeds it)."""
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"), F.lit("").alias("gram"))
+
+    def merge(s, g):
+        run = F.when(g == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+        better = run > s["best"]
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(s["best"]).alias("best"),
+            F.when(better, g).otherwise(s["gram"]).alias("gram"))
+
+    return F.aggregate(sorted_arr, init, merge,
+                       lambda s: F.struct(s["best"].alias("cnt"),
+                                          s["gram"].alias("gram")))
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple = (2, 3, 4),
+                     dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The Gopher repetition-filter signals, one row per document:
+
+    * ``dup_line_frac``       — duplicate lines / lines;
+    * ``dup_line_char_frac``  — chars in duplicate line occurrences
+                                ((count-1)*len per distinct line) / total
+                                line chars;
+    * ``top_{n}gram_char_frac`` (n in ``top_ns``) — chars covered by the
+      most frequent word n-gram (count * len / normalized text length,
+      ties to the lexicographically smallest gram);
+    * ``dup_{n}gram_char_frac`` (n in ``dup_ns``) — chars in repeated
+      n-gram occurrences ((count-1)*len summed) / normalized text
+      length, clamped to 1 (overlapping grams may double-count).
+
+    Pure column expressions: each signal is an array build + sort + fold
+    per row — no explode, no shuffle; at 100 TB this is scan-speed
+    per-document math like the rest of the curation signals. Cost note:
+    one O(L log L) sort per (row, n) over ~doc-length string arrays —
+    ~9 sorts/row at the defaults, the price of shuffle-freedom."""
+    text = F.col(text_col)
+    norm = norm_text(text)
+    words = F.split(norm, " ")
+    lines = _trimmed_lines(text)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    denom = F.greatest(F.length(norm), F.lit(1))
+    cols = [
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(F.when(n_lines > 0,
+                       (n_lines - F.size(F.array_distinct(lines)))
+                       / n_lines).otherwise(0.0), 6).alias("dup_line_frac"),
+        F.round(F.when(line_chars > 0,
+                       _adjacent_dup_chars(F.array_sort(lines)) / line_chars)
+                .otherwise(0.0), 6).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        top = _top_run(F.array_sort(_word_grams(words, n)))
+        cols.append(
+            F.round(F.least(top["cnt"] * F.length(top["gram"]) / denom,
+                            F.lit(1.0)), 6)
+            .alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        dup = _adjacent_dup_chars(F.array_sort(_word_grams(words, n)))
+        cols.append(
+            F.round(F.least(dup / denom, F.lit(1.0)), 6)
+            .alias(f"dup_{n}gram_char_frac"))
+    return docs.select(*cols)
+
+
+# the stopwords whose presence Gopher requires (>= 2 distinct)
+REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_word_len: float = 3.0, max_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stopwords: int = 2) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, table A1) as one
+    narrow projection: every signal column plus the composite
+    ``gopher_keep`` conjunction at the (configurable) paper thresholds.
+    ``gopher_keep`` is computed from the ROUNDED signal values so a SQL
+    replay of the rounded columns reproduces the verdict bit-for-bit."""
+    text = F.col(text_col)
+    norm = norm_text(text)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.round(
+        F.length(F.regexp_replace(norm, " ", "")) / nw, 6)
+    n_sym = (F.size(F.regexp_extract_all(text, F.lit("#"), 0))
+             + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0)))
+    symbol_ratio = F.round(n_sym / nw, 6)
+    lines = _trimmed_lines(text)
+    nl = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines,
+                        lambda l: l.rlike("^[-*•‣]"))) / nl, 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines,
+                        lambda l: l.rlike("(\\.\\.\\.|…)$"))) / nl, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nw, 6)
+    req = F.array(*[F.lit(w) for w in REQUIRED_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), req))
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_wlen >= min_word_len) & (mean_wlen <= max_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet_frac <= max_bullet_frac)
+            & (ellipsis_frac <= max_ellipsis_frac)
+            & (alpha_frac >= min_alpha_frac)
+            & (n_stop >= min_stopwords))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_req_stopwords"),
+        keep.alias("gopher_keep"),
     )
 
 

@@ -76,3 +76,29 @@ def test_curate_cli(spark, tmp_path, capsys):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert "split" in out.columns
     assert out.count() == funnel["output"]
+
+
+def test_curate_optional_stages(spark):
+    """paragraph dedup + Gopher gate drop exactly their offenders."""
+    boiler = "subscribe to our newsletter for updates every week"
+    rows = [
+        (0, D0 + "zero marker words here\n\n" + boiler),
+        (1, D5 + "one marker tail\n\n" + boiler),     # loses the banner
+        (2, boiler),                                  # ALL boilerplate
+        (3, D6 + " #### " * 30),                      # symbol ratio > 0.1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    curated, funnel = curate(
+        spark, docs, min_quality=0.0, dedup_paragraphs=True,
+        gopher_rules=True, gopher_kwargs={"min_words": 20})
+
+    out = {r["doc_id"]: r for r in curated.collect()}
+    # 0 keeps the banner (first occurrence); 1 survives minus banner;
+    # 2 reduced to nothing by paragraph dedup; 3 killed by Gopher
+    assert set(out) == {0, 1}
+    assert boiler in out[0]["text"]
+    assert boiler not in out[1]["text"]
+    assert funnel["input"] == 4
+    assert funnel["para_dedup"] == 3      # doc 2 dropped (empty)
+    assert funnel["gopher_gate"] == 2     # doc 3 dropped (symbols)
+    assert funnel["output"] == 2

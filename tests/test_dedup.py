@@ -240,3 +240,29 @@ def test_decontaminate_flags_overlapping_docs(spark):
     plan = decontaminate(docs, bench, n=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from tecs_hardware_kbc_spark.operators.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [
+            # doc 0 owns the banner (and repeats it internally once)
+            (0, "Shared Banner\n\nunique zero\n\nshared   banner"),
+            (1, "shared banner\n\nunique one"),
+            (2, "only unique two"),
+            (3, "shared banner"),          # nothing left after dedup
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in paragraph_dedup(d).collect()}
+
+    # first occurrence = smallest (doc_id, idx); normalization folds
+    # case + whitespace, so doc 0's internal repeat also dies
+    assert r[0]["text_dedup"] == "Shared Banner\n\nunique zero"
+    assert r[0]["n_paras_kept"] == 2
+    assert r[1]["text_dedup"] == "unique one"
+    assert r[1]["n_paras_kept"] == 1
+    assert r[2]["text_dedup"] == "only unique two"
+    # a doc that was ALL boilerplate keeps its row, empty
+    assert r[3]["text_dedup"] == "" and r[3]["n_paras_kept"] == 0

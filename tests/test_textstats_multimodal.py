@@ -209,3 +209,77 @@ def test_redact_pii_counts_and_replacement(spark):
             rows[2]["n_long_digits"]) == (0, 0, 0)
     # 8-digit run survives, 9-digit run is scrubbed (word-boundary rule)
     assert rows[3]["redacted"] == "short 12345678 is fine but [PII] is not"
+
+
+def test_repetition_stats_exact_values(spark):
+    from tecs_hardware_kbc_spark.operators.textstats import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated; "ab cd" 2-gram repeated 3x
+            (0, "ab cd ab cd ab cd\nsame line\nsame line"),
+            # no repetition at all
+            (1, "one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(d).collect()}
+
+    assert r[0]["n_lines"] == 3
+    assert r[0]["dup_line_frac"] == round(1 / 3, 6)
+    # duplicate occurrences beyond the first: one "same line" (9 chars)
+    # over total line chars 17 + 9 + 9
+    assert r[0]["dup_line_char_frac"] == round(9 / 35, 6)
+    # norm text = "ab cd ab cd ab cd same line same line" (37 chars);
+    # top 2-gram "ab cd" count 3, len 5 -> 15/37
+    assert r[0]["top_2gram_char_frac"] == round(15 / 37, 6)
+
+    assert r[1]["dup_line_frac"] == 0.0
+    # every 2-gram occurs once; tie-break -> lexicographically smallest
+    # ("four five", 9 chars) over norm length 23
+    assert r[1]["top_2gram_char_frac"] == round(
+        len("four five") / len("one two three four five"), 6)
+    for n in (5, 6, 7, 8, 9, 10):
+        assert r[1][f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_repetition_top_gram_tiebreak_smallest(spark):
+    from tecs_hardware_kbc_spark.operators.textstats import repetition_stats
+
+    # "zz yy" and "aa bb" both appear twice; the smaller gram wins
+    d = spark.createDataFrame(
+        [(0, "zz yy zz yy qq aa bb aa bb")], "doc_id long, text string")
+    row = repetition_stats(d).collect()[0]
+    # both candidate 2-grams have len 5, count 2; norm len 26
+    assert row["top_2gram_char_frac"] == round(10 / 26, 6)
+
+
+def test_gopher_quality_each_rule_drops_its_offender(spark):
+    from tecs_hardware_kbc_spark.operators.textstats import gopher_quality
+
+    good = ("the cat and the dog have been to the house of that family "
+            "and with them be the birds " * 3)
+    rows = [
+        (0, good),                                    # passes everything
+        (1, "the of and that be"),                    # too few words
+        (2, good + " ##### ##### ##### ##### #####"
+                  " ##### ##### ##### ##### #####"),  # symbol ratio
+        (3, "\n".join(["- " + good] * 10)),           # all bullet lines
+        (4, "\n".join([good + "..."] * 10)),          # all ellipsis lines
+        (5, ("9 8 7 6 5 4 3 2 1 0 " * 10) + good[:40]),  # non-alpha words
+        (6, ("walrus penguin otter seal dolphin " * 20)),  # no stopwords
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         gopher_quality(d, min_words=20).collect()}
+
+    assert r[0]["gopher_keep"] is True
+    assert r[1]["n_words"] < 20 and r[1]["gopher_keep"] is False
+    assert r[2]["symbol_ratio"] > 0.1 and r[2]["gopher_keep"] is False
+    assert r[3]["bullet_line_frac"] == 1.0 and r[3]["gopher_keep"] is False
+    assert (r[4]["ellipsis_line_frac"] == 1.0
+            and r[4]["gopher_keep"] is False)
+    assert (r[5]["alpha_word_frac"] < 0.8
+            and r[5]["gopher_keep"] is False)
+    assert (r[6]["n_req_stopwords"] == 0
+            and r[6]["gopher_keep"] is False)
