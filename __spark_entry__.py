@@ -1222,6 +1222,183 @@ def doc_para_dedup(spark, sf):
                       "n_paras_kept")
 
 
+# planted URLs for the URL-curation entries: messy case, default ports,
+# tracking params, fragments, a two-level-suffix host every 5th doc
+_PLANT_URL_SQL = """
+  CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN 'Sub.Site' || (doc_id % 97)::varchar || '.CO.UK'
+          ELSE 'WWW.Site' || (doc_id % 97)::varchar || '.Example.COM'
+     END
+  || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+  || '/Path' || doc_id::varchar
+  || CASE WHEN doc_id % 4 = 0
+            THEN '?utm_source=feed&b=' || doc_id::varchar || '&a=1#frag'
+          WHEN doc_id % 4 = 1 THEN '?gclid=xyz'
+          WHEN doc_id % 4 = 2 THEN '#only-frag'
+          ELSE '' END"""
+
+
+def _plant_url_col():
+    did = F.col("doc_id")
+    host = F.when(
+        did % 5 == 0,
+        F.concat(F.lit("Sub.Site"), (did % 97).cast("string"),
+                 F.lit(".CO.UK"))) \
+        .otherwise(F.concat(F.lit("WWW.Site"), (did % 97).cast("string"),
+                            F.lit(".Example.COM")))
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://")),
+        host,
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        F.lit("/Path"), did.cast("string"),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&b="), did.cast("string"),
+                        F.lit("&a=1#frag")))
+        .when(did % 4 == 1, F.lit("?gclid=xyz"))
+        .when(did % 4 == 2, F.lit("#only-frag"))
+        .otherwise(F.lit("")))
+
+
+def _url_canon_sql() -> str:
+    """DuckDB replay of urls.canonicalize_url / url_host /
+    registered_domain over the planted URLs — every rule (lowercase,
+    default-port strip, fragment strip, tracking-param drop, param
+    sort, PSL-stand-in registered domain) replayed generically from the
+    URL string, not from the planting arithmetic."""
+    rgx = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$"
+    track = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+    return f"""
+WITH b AS (SELECT doc_id, {_PLANT_URL_SQL} AS url FROM documents),
+p AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '{rgx}', 1)) AS scheme,
+  regexp_extract(regexp_extract(lower(regexp_extract(url, '{rgx}', 2)),
+                                '^(?:[^@]*@)?(.*)$', 1),
+                 '^([^:]*)', 1) AS host,
+  regexp_extract(regexp_extract(url, '{rgx}', 2), ':([0-9]+)$', 1)
+    AS port,
+  regexp_extract(url, '{rgx}', 3) AS path,
+  regexp_extract(url, '{rgx}', 4) AS query
+  FROM b),
+q AS (SELECT *,
+  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+       THEN '' ELSE ':' || port END AS port_part,
+  list_sort(list_filter(
+      CASE WHEN query = '' THEN [] ELSE string_split(query, '&') END,
+      x -> NOT regexp_matches(lower(x), '{track}'))) AS kept,
+  string_split(host, '.') AS labels
+  FROM p)
+SELECT doc_id,
+  scheme || '://' || host || port_part
+    || CASE WHEN path = '' THEN '/' ELSE path END
+    || CASE WHEN len(kept) > 0
+            THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon,
+  host,
+  CASE WHEN regexp_matches(host,
+            '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$')
+            OR len(labels) <= 2 THEN host
+       WHEN list_contains(['co.uk','org.uk','ac.uk','com.au','co.jp',
+                           'co.in','com.br','co.nz','com.cn','co.kr'],
+            array_to_string(labels[greatest(len(labels)-1, 1):], '.'))
+       THEN array_to_string(labels[greatest(len(labels)-2, 1):], '.')
+       ELSE array_to_string(labels[greatest(len(labels)-1, 1):], '.')
+  END AS domain
+FROM q
+"""
+
+
+@_q("doc_url_canon", _url_canon_sql())
+def doc_url_canon(spark, sf):
+    """URL canonicalization (urls.canonicalize_url + url_host +
+    registered_domain): planted URLs with messy case, default ports,
+    tracking params, fragments and co.uk two-level suffixes; the
+    canonical form, host and registered domain all hash-checked against
+    a DuckDB replay of the same rules (both sides extract from the URL
+    string — neither reuses the planting arithmetic)."""
+    from tecs_hardware_kbc_spark.operators.urls import (
+        canonicalize_url, registered_domain, url_host)
+    d = _t(spark, sf, "documents")
+    url = _plant_url_col()
+    return d.select(
+        "doc_id",
+        canonicalize_url(url).alias("canon"),
+        url_host(url).alias("host"),
+        registered_domain(url_host(url)).alias("domain"))
+
+
+def _domain_cap_sql(cap: int = 5) -> str:
+    """Replay of urls.domain_cap: 23 planted domains, keep the ``cap``
+    smallest hash_u(doc_id) per domain. The domain value itself is
+    checked generically by doc_url_canon; here the plant arithmetic
+    stands in for it so the entry isolates the capping window."""
+    u = ("(('0x' || substr(md5(doc_id::varchar || ':domain_cap'), 1, 8))"
+         "::ubigint / 4294967296.0)")
+    return f"""
+WITH d AS (SELECT doc_id,
+                  'site' || (doc_id % 23)::varchar || '-shop.com'
+                    AS domain,
+                  {u} AS _u
+           FROM documents),
+r AS (SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY _u, doc_id) AS domain_rank
+      FROM d)
+SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= {cap}
+"""
+
+
+@_q("doc_domain_cap", _domain_cap_sql())
+def doc_domain_cap(spark, sf):
+    """Per-domain document caps (urls.domain_cap — the crawl-curation
+    rule that stops one hot forum from dominating the corpus): 23
+    planted domains, at most 5 docs each kept by deterministic hash
+    order; survivors and their ranks hash-checked vs the DuckDB window
+    replay."""
+    from tecs_hardware_kbc_spark.operators.urls import domain_cap
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.lit("https://www.site"),
+                 (F.col("doc_id") % 23).cast("string"),
+                 F.lit("-shop.com/p"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return domain_cap(planted, max_per_domain=5)
+
+
+def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
+    u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
+         "::ubigint / 4294967296.0)")
+    return f"""
+WITH d AS (SELECT doc_id, len({_WORDS_SQL}) AS tokens, {u} AS _u,
+                  least(floor({u} * {buckets}), {buckets} - 1) AS _b
+           FROM documents),
+c AS (SELECT doc_id, tokens,
+             sum(tokens) OVER (ORDER BY _b, _u, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+      FROM d WHERE tokens > 0)
+SELECT doc_id, tokens::bigint AS tokens, cum::bigint AS cum_tokens
+FROM c WHERE cum <= {budget}
+"""
+
+
+@_q("doc_token_budget", _token_budget_sql())
+def doc_token_budget(spark, sf):
+    """Global token-budget corpus cut (sampling.token_budget — "train on
+    the first 12k tokens" in deterministic hash order): the sharded
+    Spark plan (per-bucket totals -> tiny exclusive prefix sum -> one
+    window per bucket) must reproduce EXACTLY the single global running
+    sum the DuckDB oracle computes — survivor set, per-doc tokens and
+    inclusive cumulative totals all hash-checked."""
+    from tecs_hardware_kbc_spark.operators.sampling import token_budget
+    from tecs_hardware_kbc_spark.operators.textstats import token_stats
+    d = _t(spark, sf, "documents")
+    toks = token_stats(d).select("doc_id", F.col("n_words").alias("tokens"))
+    return token_budget(toks, "doc_id", "tokens",
+                        budget=12000, buckets=16)
+
+
 _RESAMPLE_MULTS = {"src0": 2.5, "src1": 0.4, "src2": 0.0, "src3": 3.0}
 
 

@@ -35,7 +35,9 @@ def curate(spark: SparkSession, docs: DataFrame,
            decontam_n: int = 8,
            dedup_paragraphs: bool = False,
            gopher_rules: bool = False,
-           gopher_kwargs: dict | None = None) -> tuple[DataFrame, dict]:
+           gopher_kwargs: dict | None = None,
+           max_per_domain: int | None = None,
+           url_col: str = "url") -> tuple[DataFrame, dict]:
     """Run the curation funnel over ``docs`` (doc_id, text, ...).
 
     Returns ``(curated, funnel)``: the curated DataFrame (original
@@ -55,6 +57,15 @@ def curate(spark: SparkSession, docs: DataFrame,
 
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
     funnel: dict[str, int] = {"input": docs.count()}
+
+    # 0 (optional). per-domain caps — the URL-level gate runs FIRST so
+    # a hot domain never pays for text-side processing it won't survive
+    if max_per_domain is not None:
+        from tecs_hardware_kbc_spark.operators.urls import domain_cap
+        capped = domain_cap(docs, url_col=url_col, id_col="doc_id",
+                            max_per_domain=max_per_domain)
+        docs = docs.join(capped.select("doc_id"), "doc_id", "left_semi")
+        funnel["domain_cap"] = docs.count()
 
     # The expensive stages (fingerprint groupBy, minhash banding + CC,
     # benchmark shingle join) each reduce to a SMALL doc_id set; persist

@@ -17,6 +17,10 @@ the same rows, which Bernoulli ``rand()`` does not guarantee.
   resampling with repetition (multiplier > 1 duplicates rows, the
   fractional part is a deterministic per-key coin; temperature alpha
   flattens the domain distribution the multilingual-pretraining way).
+* ``token_budget`` — "first N tokens" corpus cut in deterministic hash
+  order, without a global sort: per-bucket totals -> tiny exclusive
+  prefix sum -> one within-bucket window; only the boundary bucket
+  actually cuts.
 * ``pack_sequences`` — concat-and-chunk sequence packing: shard the
   corpus by key hash, order each shard deterministically, lay documents
   end-to-end on a per-shard token tape and cut it every ``budget``
@@ -184,4 +188,52 @@ def pack_sequences(df: DataFrame, key: str, token_col: str,
         "doc_start", "doc_end",
         (slice_start - seq_start).cast("int").alias("seq_off"),
         (slice_end - slice_start).cast("int").alias("slice_len"),
+    )
+
+
+def token_budget(df: DataFrame, key: str, token_col: str,
+                 budget: int, buckets: int = 1024,
+                 salt: str = "budget") -> DataFrame:
+    """Cut the corpus at a global token budget: keep the deterministic
+    hash-order prefix whose cumulative token count fits ``budget`` (the
+    "train on the first N tokens" selection, without a global sort).
+
+    The global order is (bucket, hash uniform, key) where bucket =
+    floor(u * buckets) — i.e. just the hash order read bucket-by-bucket.
+    The scale trick mirrors ``pack_sequences``: a GLOBAL running sum
+    would be one totally-ordered window (a single-partition scale
+    killer), so instead (1) per-bucket token totals — one small agg,
+    ``buckets`` rows; (2) an exclusive prefix sum over that tiny table
+    gives each bucket its starting offset; (3) ONE window per bucket
+    computes the within-bucket running sum. A document is kept when
+    bucket_offset + within_cumsum <= budget — so full buckets keep
+    everything cheaply and only the boundary bucket actually cuts.
+
+    Output: (key, tokens, cum_tokens) for the SURVIVORS, where
+    ``cum_tokens`` is the inclusive global running total (max row's
+    cum_tokens is the realized budget, <= ``budget``). Deterministic
+    across engines/retries/partitionings; the under-fill is at most one
+    document (the first one that would cross the line is dropped)."""
+    k = F.col(key)
+    toks = F.col(token_col).cast("long")
+    u = hash_u(k, salt)
+    bucket = F.least(F.floor(u * buckets), F.lit(buckets - 1)).cast("int")
+    d = df.select(k.alias(key), toks.alias("tokens"),
+                  u.alias("_u"), bucket.alias("_b")) \
+        .filter(F.col("tokens") > 0)
+
+    totals = d.groupBy("_b").agg(F.sum("tokens").alias("_btoks"))
+    w_off = (Window.orderBy("_b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.withColumn(
+        "_off", F.sum("_btoks").over(w_off) - F.col("_btoks")) \
+        .select("_b", "_off")
+
+    w_in = (Window.partitionBy("_b").orderBy("_u", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.join(F.broadcast(offsets), "_b")
+        .withColumn("_cum", F.col("_off") + F.sum("tokens").over(w_in))
+        .filter(F.col("_cum") <= F.lit(int(budget)))
+        .select(key, "tokens", F.col("_cum").alias("cum_tokens"))
     )
