@@ -1222,6 +1222,63 @@ def doc_para_dedup(spark, sf):
                       "n_paras_kept")
 
 
+_QM_POS = " editorial archive longform verified citation"
+_QM_NEG = " clickbait spam adfarm popup tracker"
+
+
+def _quality_model_sql() -> str:
+    """DuckDB replay of the frozen quality model's forward pass
+    (quality_model.score_quality): md5 token hash -> 1024-bucket weight
+    lookup -> fold + bias -> sigmoid, weights inlined as a literal."""
+    from tecs_hardware_kbc_spark.operators.quality_model import (
+        HASH_DIM, weights_array)
+    from tecs_hardware_kbc_spark.operators.quality_weights import (
+        FROZEN_QUALITY_MODEL)
+    warr = "[" + ", ".join(
+        repr(v) for v in weights_array(FROZEN_QUALITY_MODEL, HASH_DIM)) + "]"
+    bias = repr(float(FROZEN_QUALITY_MODEL["bias"]))
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    bucket = ("(('0x' || substr(md5('qf:' || x), 1, 8))::ubigint"
+              f" % {HASH_DIM})::int")
+    return f"""
+WITH b AS (SELECT doc_id,
+    CASE WHEN source IN ('src0', 'src2') THEN text || '{_QM_POS}'
+         ELSE text || '{_QM_NEG}' END AS t
+    FROM documents),
+z AS (SELECT doc_id,
+    {bias} + coalesce(list_sum(list_transform(
+        string_split({norm}, ' '),
+        x -> ({warr})[1 + {bucket}])), 0.0) AS logit
+    FROM b)
+SELECT doc_id, round(logit, 6) AS qm_logit,
+       round(1.0 / (1.0 + exp(-logit)), 6) AS qm_score
+FROM z
+"""
+
+
+@_q("doc_quality_model", _quality_model_sql())
+def doc_quality_model(spark, sf):
+    """Model-based quality filtering (quality_model.score_quality — the
+    CCNet/DCLM fasttext-style gate): the FROZEN logistic model
+    (quality_weights.py, trained dev-fit/test-report on the planted
+    editorial-vs-clickbait markers) scores every document via the pure
+    column-expression forward pass — hashed bag-of-words -> literal
+    weight array -> sigmoid — and both logit and score are hash-checked
+    against the DuckDB replay with the weights inlined as SQL
+    literals."""
+    from tecs_hardware_kbc_spark.operators.quality_model import (
+        score_quality)
+    from tecs_hardware_kbc_spark.operators.quality_weights import (
+        FROZEN_QUALITY_MODEL)
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src2"),
+               F.concat(F.col("text"), F.lit(_QM_POS)))
+        .otherwise(F.concat(F.col("text"), F.lit(_QM_NEG))).alias("text"))
+    return score_quality(planted, FROZEN_QUALITY_MODEL)
+
+
 # planted URLs for the URL-curation entries: messy case, default ports,
 # tracking params, fragments, a two-level-suffix host every 5th doc
 _PLANT_URL_SQL = """
@@ -2219,6 +2276,53 @@ def sim_ivf_topk(spark, sf):
     return out.select("query_id", "vec_id",
                       F.round("cosine", 4).alias("cosine"),
                       F.col("rank").alias("rnk"))
+
+
+def _semantic_dedup_sql(threshold: float = 0.4) -> str:
+    """DuckDB replay of dedup.semantic_dedup (SemDeDup): frozen-quantizer
+    cell assignment, within-cell cosine pairs, recursive-CTE transitive
+    closure, component-min keeper."""
+    from tecs_hardware_kbc_spark.operators.ivf_centroids import IVF_CENTROIDS
+    scores = ", ".join(
+        f"(list_inner_product(v, {_vec_lit(c)}) - "
+        f"{repr(0.5 * sum(float(x) * float(x) for x in c))})"
+        for c in IVF_CENTROIDS)
+    return f"""
+WITH RECURSIVE
+s AS (SELECT vec_id, embedding::DOUBLE[] AS v, [{scores}] AS scores
+      FROM embeddings),
+c AS (SELECT vec_id, v,
+             list_position(scores, list_max(scores)) - 1 AS cell FROM s),
+p AS (SELECT a.vec_id AS a, b.vec_id AS b
+      FROM c a JOIN c b USING (cell)
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(a.v, b.v) >= {threshold}),
+edges AS (SELECT a AS u, b AS v FROM p
+          UNION SELECT b AS u, a AS v FROM p),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon AS (SELECT u AS vec_id, least(u, min(v)) AS canonical_id
+          FROM reach GROUP BY u)
+SELECT c.vec_id, c.cell,
+       coalesce(canon.canonical_id, c.vec_id) AS canonical_id
+FROM c LEFT JOIN canon ON c.vec_id = canon.vec_id
+"""
+
+
+@_q("emb_semantic_dedup", _semantic_dedup_sql())
+def emb_semantic_dedup(spark, sf):
+    """Semantic dedup (dedup.semantic_dedup — SemDeDup, Abbas et al.
+    2023): frozen IVF cells (ivf_centroids.py) + within-cell cosine
+    pairs at 0.4 (the synthetic embeddings are near-orthogonal, so 0.4
+    stands in for the ~0.9 a real deployment uses) + CC + component-min
+    keeper; the full (vec_id, cell, canonical_id) mapping hash-checked
+    against the DuckDB recursive-closure replay."""
+    from tecs_hardware_kbc_spark.operators.dedup import semantic_dedup
+    from tecs_hardware_kbc_spark.operators.ivf_centroids import IVF_CENTROIDS
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, IVF_CENTROIDS, threshold=0.4)
 
 
 def _dedup_components_sql() -> str:

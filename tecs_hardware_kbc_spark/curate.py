@@ -37,7 +37,9 @@ def curate(spark: SparkSession, docs: DataFrame,
            gopher_rules: bool = False,
            gopher_kwargs: dict | None = None,
            max_per_domain: int | None = None,
-           url_col: str = "url") -> tuple[DataFrame, dict]:
+           url_col: str = "url",
+           quality_model: dict | None = None,
+           min_model_score: float = 0.5) -> tuple[DataFrame, dict]:
     """Run the curation funnel over ``docs`` (doc_id, text, ...).
 
     Returns ``(curated, funnel)``: the curated DataFrame (original
@@ -123,8 +125,20 @@ def curate(spark: SparkSession, docs: DataFrame,
                        .select("doc_id"), "doc_id", "left_semi")
         funnel["gopher_gate"] = cur.count()
 
+    # 4c (optional). model-based quality gate (quality_model.py — the
+    # CCNet/DCLM classifier): keep docs the frozen model scores >= cut
+    if quality_model is not None:
+        from tecs_hardware_kbc_spark.operators.quality_model import (
+            score_quality)
+        qm = score_quality(cur, quality_model)
+        cur = cur.join(
+            qm.filter(F.col("qm_score") >= F.lit(float(min_model_score)))
+            .select("doc_id"), "doc_id", "left_semi")
+        funnel["model_gate"] = cur.count()
+
     # 5. PII redaction (text is REPLACED by its redacted form)
-    n_cur = funnel.get("gopher_gate", funnel["quality_gate"])
+    n_cur = funnel.get("model_gate",
+                       funnel.get("gopher_gate", funnel["quality_gate"]))
     red = redact_pii(cur).select("doc_id", "redacted")
     cur = cur.join(red, "doc_id") \
         .withColumn("text", F.col("redacted")).drop("redacted")

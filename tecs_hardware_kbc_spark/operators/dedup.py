@@ -412,6 +412,53 @@ def near_duplicate_components(pairs: DataFrame, a_col: str = "a",
                        F.col("component").alias("canonical_id"))
 
 
+def semantic_dedup(emb: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    embeddings with a frozen coarse quantizer and collapsing
+    within-cluster cosine-near pairs — removes *semantically* redundant
+    documents exact/minhash dedup can't see (same content, different
+    words).
+
+    Returns the full mapping (vec_id, cell, canonical_id): keeper rows
+    have canonical_id == vec_id; "keep one per semantic group" is then
+    one filter/anti-join downstream.
+
+    Plan: cell assignment is the IVF quantizer's argmax over broadcast
+    centroid literals (``similarity.nearest_cells`` — scan-speed, no
+    shuffle); the candidate join is keyed BY CELL, so the quadratic
+    blow-up is bounded per cell (the SemDeDup design point: cluster
+    count trades recall against block size — at 10^12 docs you run
+    ~100k cells so a cell is ~10^7 docs scanned by one join partition
+    group, and cells are embarrassingly parallel); connected components
+    over the surviving pairs reuses the engine's CC, and the keeper is
+    the component-min id. Nothing in the pipeline is ever all-pairs
+    across cells."""
+    from tecs_hardware_kbc_spark.operators.similarity import (
+        cosine, nearest_cells)
+
+    v = F.col(vec_col).cast("array<double>")
+    c = emb.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                   F.element_at(nearest_cells(v, centroids, 1), 1)
+                   .alias("cell"))
+    a = c.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                 "cell")
+    b = c.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                 "cell")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("a") < F.col("b"))
+             .filter(cosine(F.col("va"), F.col("vb"))
+                     >= F.lit(float(threshold)))
+             .select("a", "b"))
+    comp = near_duplicate_components(pairs)
+    return (c.join(comp.withColumnRenamed("doc_id", "vec_id"),
+                   "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce("canonical_id", "vec_id")
+                    .alias("canonical_id")))
+
+
 def embedding_near_duplicates(emb: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,

@@ -266,3 +266,33 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert r[2]["text_dedup"] == "only unique two"
     # a doc that was ALL boilerplate keeps its row, empty
     assert r[3]["text_dedup"] == "" and r[3]["n_paras_kept"] == 0
+
+
+def test_semantic_dedup_groups_within_cells_only(spark):
+    from tecs_hardware_kbc_spark.operators.dedup import semantic_dedup
+
+    # two well-separated centroids on the x/y axes
+    centroids = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (0, [1.0, 0.0, 0.0]),       # cell 0
+        (1, [0.99, 0.01, 0.0]),     # cell 0, near-dup of 0
+        (2, [0.9, 0.1, 0.3]),       # cell 0, near-dup of 0/1 (cos>0.9)
+        (3, [0.0, 1.0, 0.0]),       # cell 1
+        (4, [0.01, 0.99, 0.0]),     # cell 1, near-dup of 3
+        (5, [-0.2, 0.9, -0.3]),     # cell 1, distinct (cos<thr vs 3/4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, centroids, threshold=0.95).collect()}
+
+    assert {out[i]["cell"] for i in (0, 1, 2)} == {0}
+    assert {out[i]["cell"] for i in (3, 4, 5)} == {1}
+    # component-min keepers
+    assert out[0]["canonical_id"] == 0
+    assert out[1]["canonical_id"] == 0
+    assert out[3]["canonical_id"] == 3 and out[4]["canonical_id"] == 3
+    # the distinct vector keeps itself
+    assert out[5]["canonical_id"] == 5
+    # near-dups NEVER merge across cells even at cos ~ 0.7 (the
+    # SemDeDup trade: the candidate join is strictly cell-bounded)
+    assert out[2]["canonical_id"] != out[3]["canonical_id"]
