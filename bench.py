@@ -325,6 +325,93 @@ def run_host_ceiling(repeats: int = 2) -> dict:
     return out
 
 
+def run_curate(cpus: int, n_docs: int, repeats: int = 3) -> dict:
+    """Steady-state curation-funnel probe: a deterministic synthetic
+    documents table (docgen.synthetic_documents — ~6% exact dups, ~5%
+    near-dups, 12% German, 8% junk, hot-domain urls) written ONCE to
+    data/ and reused across parallelism levels, then the full funnel
+    (exact dedup -> minhash-CC near-dedup -> en keep-list -> quality ->
+    Gopher rules -> PII redaction -> split) timed best-of-N warm. The
+    funnel's own stage counts are part of the job (they are in the
+    product path), so the timing includes them."""
+    import shutil
+
+    from tecs_hardware_kbc_spark.curate import curate
+    from tecs_hardware_kbc_spark.docgen import synthetic_documents
+    from tecs_hardware_kbc_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    path = os.path.join(os.path.dirname(__file__) or ".", "data",
+                        f"bench_docs_{n_docs}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        synthetic_documents(spark, n_docs).write \
+            .mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path).select("doc_id", "text")
+
+    def lap() -> tuple[float, dict]:
+        spark.catalog.clearCache()  # each lap re-persists its ID sets
+        t0 = time.monotonic()
+        curated, funnel = curate(spark, docs, langs=["en"],
+                                 min_quality=0.3, gopher_rules=True)
+        funnel["written"] = curated.count()
+        return time.monotonic() - t0, funnel
+
+    _ramp_cpu()
+    lap()  # untimed warm-up (codegen + clock ramp)
+    _ramp_cpu()
+    times, funnel = [], {}
+    for _ in range(repeats):
+        t, funnel = lap()
+        times.append(t)
+    best, med = min(times), sorted(times)[len(times) // 2]
+    return {
+        "metric": "curate_funnel", "docs": n_docs, "cpus": cpus,
+        "sec": round(best, 3), "sec_median": round(med, 3),
+        "docs_per_sec": round(n_docs / best, 1), "funnel": funnel,
+    }
+
+
+def run_curate_scaling() -> None:
+    """north_rule evidence on the CURATION axis: the same funnel over the
+    same synthetic documents table at local[8] and local[32], alternating
+    launches min-merged (one process per level is not evidence on this
+    host), plus a quarter-input 8-core run for weak scaling."""
+    def probe(cpus: int, docs: int) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_DOCS=str(docs))
+        out = subprocess.run(
+            [sys.executable, __file__, "--curate"], env=env,
+            capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+    runs_8, runs_32 = [], []
+    for _ in range(2):
+        runs_32.append(probe(32, n_docs))
+        runs_8.append(probe(8, n_docs))
+    weak_8 = probe(8, n_docs // 4)
+    s8 = min(r["sec"] for r in runs_8)
+    s32 = min(r["sec"] for r in runs_32)
+    strong_eff = s8 / s32 / 4.0
+    weak_eff = weak_8["sec"] / s32
+    report = {
+        "metric": "curate_scaling_8_to_32_cores",
+        "value": round(strong_eff, 3), "unit": "ratio",
+        "docs": n_docs,
+        "sec_8": s8, "sec_32": s32,
+        "sec_8_quarter": weak_8["sec"],
+        "docs_per_sec_32": round(n_docs / s32, 1),
+        "strong_eff": round(strong_eff, 3),
+        "weak_eff": round(weak_eff, 3),
+        "funnel_32": runs_32[0]["funnel"],
+    }
+    print(json.dumps(report))
+
+
 def run_scaling() -> None:
     """Two-cluster-size evidence (north_rule): the same job at local[8] and
     local[32] (N and 4N cores standing in for N and 4N executors).
@@ -617,6 +704,11 @@ if __name__ == "__main__":
         n = (int(N_PAGES_ENV) if N_PAGES_ENV
              else PAGES_BY_SF.get(_sf_label(), 8000))
         print(json.dumps(run_stage_profile(CPUS, n)))
+    elif "--curate-scaling" in sys.argv:
+        run_curate_scaling()
+    elif "--curate" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+        print(json.dumps(run_curate(CPUS, n)))
     elif "--datapath" in sys.argv:
         n = (int(N_PAGES_ENV) if N_PAGES_ENV
              else PAGES_BY_SF.get(_sf_label(), 8000))

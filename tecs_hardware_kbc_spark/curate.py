@@ -21,7 +21,7 @@ decontamination is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 
@@ -55,7 +55,7 @@ def curate(spark: SparkSession, docs: DataFrame,
     from tecs_hardware_kbc_spark.operators.sampling import (
         sample_by_hash, split_by_hash)
     from tecs_hardware_kbc_spark.operators.textstats import (
-        gopher_quality, language_id, quality_score, redact_pii)
+        gopher_cols, lang_pred_cols, quality_col, redact_col)
 
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
     funnel: dict[str, int] = {"input": docs.count()}
@@ -103,45 +103,48 @@ def curate(spark: SparkSession, docs: DataFrame,
                      "doc_id"))
         funnel["para_dedup"] = cur.count()
 
-    # 3. language keep-list (heuristic language_id, not the lang column —
-    #    a crawl's self-declared language lies)
+    # 3-5 FUSED: every per-document gate (language keep-list, quality,
+    # Gopher rules, model score) is a pure column expression over the
+    # same row, so compute ALL of them in ONE narrow projection over
+    # the post-dedup survivors — no doc_id joins, no per-stage re-scan
+    # — and take ALL the funnel counts from ONE aggregation over the
+    # cumulative flags. At 100 TB this is the difference between one
+    # pass over the text and five. (The heuristic language gate uses
+    # lang_pred, not the lang column — a crawl's self-declared language
+    # lies.)
+    text = F.col("text")
+    flags: list[tuple[str, Column]] = []  # (funnel key, stage predicate)
     if langs:
-        lid = language_id(cur).select("doc_id", "lang_pred")
-        cur = cur.join(lid, "doc_id").filter(
-            F.col("lang_pred").isin(list(langs))).drop("lang_pred")
-        funnel["lang_filter"] = cur.count()
-
-    # 4. quality gate
-    q = quality_score(cur).select("doc_id", "quality")
-    cur = cur.join(q, "doc_id").filter(
-        F.col("quality") >= F.lit(float(min_quality))).drop("quality")
-    funnel["quality_gate"] = cur.count()
-
-    # 4b (optional). the Gopher outlier rule set (word count, word
-    # length, symbol/bullet/ellipsis ratios, required stopwords)
+        pred, _ = lang_pred_cols(text)
+        flags.append(("lang_filter", pred.isin(list(langs))))
+    flags.append(("quality_gate",
+                  quality_col(text) >= F.lit(float(min_quality))))
     if gopher_rules:
-        g = gopher_quality(cur, **(gopher_kwargs or {}))
-        cur = cur.join(g.filter(F.col("gopher_keep"))
-                       .select("doc_id"), "doc_id", "left_semi")
-        funnel["gopher_gate"] = cur.count()
-
-    # 4c (optional). model-based quality gate (quality_model.py — the
-    # CCNet/DCLM classifier): keep docs the frozen model scores >= cut
+        flags.append((
+            "gopher_gate",
+            gopher_cols(text, **(gopher_kwargs or {}))["gopher_keep"]))
     if quality_model is not None:
         from tecs_hardware_kbc_spark.operators.quality_model import (
-            score_quality)
-        qm = score_quality(cur, quality_model)
-        cur = cur.join(
-            qm.filter(F.col("qm_score") >= F.lit(float(min_model_score)))
-            .select("doc_id"), "doc_id", "left_semi")
-        funnel["model_gate"] = cur.count()
+            qm_score_col)
+        flags.append(("model_gate",
+                      qm_score_col(text, quality_model)
+                      >= F.lit(float(min_model_score))))
 
-    # 5. PII redaction (text is REPLACED by its redacted form)
-    n_cur = funnel.get("model_gate",
-                       funnel.get("gopher_gate", funnel["quality_gate"]))
-    red = redact_pii(cur).select("doc_id", "redacted")
-    cur = cur.join(red, "doc_id") \
-        .withColumn("text", F.col("redacted")).drop("redacted")
+    flagged = cur.select("*", *[c.alias(f"_f_{k}") for k, c in flags])
+    cum, cum_sums = F.lit(True), []
+    for k, _ in flags:
+        cum = cum & F.col(f"_f_{k}")
+        cum_sums.append(F.sum(cum.cast("long")).alias(k))
+    counts = flagged.agg(*cum_sums).collect()[0].asDict()
+    for k, _ in flags:
+        funnel[k] = counts[k]
+    cur = flagged.filter(cum).drop(*[f"_f_{k}" for k, _ in flags])
+
+    # 5. PII redaction (text is REPLACED by its redacted form) — a
+    # second narrow projection AFTER the gate filter so dropped rows
+    # never pay for the chained regex replacements
+    n_cur = counts[flags[-1][0]]
+    cur = cur.withColumn("text", redact_col(text))
     funnel["pii_redacted"] = n_cur  # row-preserving
 
     # 6. benchmark decontamination: drop any doc sharing an n-gram

@@ -163,6 +163,39 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         F.min("shingle").alias("first_hit"))
 
 
+def minhash_signatures_arr(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig array<bigint>): the SHUFFLE-FREE minhash signature
+    path — shingle the document into a per-row array and take the 16
+    seeded-md5 mins directly with array_min, all inside one projection.
+    Signatures are bit-identical to ``minhash_signatures``'s (min is
+    duplicate-insensitive, so per-occurrence hashing equals
+    per-distinct-shingle hashing), but the plan has ZERO shuffles before
+    the banding join where the vocab path has three (shingle
+    dropDuplicates, vocab distinct, shingle-vocab join). Measured 50k
+    docs / 32c: 6.2s vs 38-48s. Every captured array is ``_let``-bound —
+    without it the HOF-recapture trap makes this path O(L^2) per row and
+    8x SLOWER (measured 50s), see augment._let.
+
+    Prefer this path by default; the vocab-join variant
+    (``minhash_signatures``) stays for boilerplate-heavy corpora where
+    shingles repeat enough across documents that hashing once per
+    distinct shingle beats hashing per occurrence."""
+    from tecs_hardware_kbc_spark.operators.augment import _let
+
+    def build(words):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        grams = F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")))
+        return _let(grams, lambda sh: F.array(
+            *[F.array_min(F.transform(sh, lambda s: md5_u32(s, seed=i)))
+              for i in range(num_hashes)]))
+
+    sig = _let(F.split(norm_text(F.col(text_col)), " "), build)
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, sig array<bigint>): element i = min over shingles of the
     seed-i md5 hash. The 16 hashes are computed once per DISTINCT shingle
@@ -171,7 +204,8 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     aggregation keeps the final shuffle tiny (num_hashes longs per doc).
     (Measured: deriving 4 hashes from one md5's u32 words is SLOWER here —
     aggregate buffers don't share the digest subexpression — so each hash
-    pays its own seeded md5.)"""
+    pays its own seeded md5.) See ``minhash_signatures_arr`` for the
+    shuffle-free default path; signatures are bit-identical."""
     vocab = shingles.select("shingle").distinct().select(
         "shingle",
         *[md5_u32(F.col("shingle"), seed=i).alias(f"_h{i}")
@@ -186,9 +220,22 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        num_hashes: int = 16) -> DataFrame:
+                        num_hashes: int = 16,
+                        keep_sigs: bool = False,
+                        bucket_cap: int = 256) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
-    The join is keyed by (band, bucket) — never all-pairs."""
+    Never all-pairs across buckets.
+
+    Physical plan: ONE shuffle — groupBy (band, bucket) collecting
+    (doc_id, sig) structs, then in-row pair expansion for buckets up to
+    ``bucket_cap`` members. A self-join plan would evaluate the
+    signature lineage once per join side and shuffle twice; this
+    evaluates it once. Buckets LARGER than the cap (boilerplate blobs:
+    O(k²) pairs would materialize inside one row) fall back to a
+    streaming self-join over just those buckets' already-shuffled rows
+    — exact, no pair lost, memory bounded. ``keep_sigs=True`` carries
+    both signatures on every pair (columns ``sig_a``/``sig_b``) so
+    verification needs no join back against the signature table."""
     rows = num_hashes // bands
     band_hashes = [
         F.md5(F.concat_ws(",", *[
@@ -196,31 +243,67 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         ])).alias(f"_band{b}")
         for b in range(bands)
     ]
-    banded = signatures.select("doc_id", *band_hashes).select(
-        "doc_id",
+    banded = signatures.select("doc_id", "sig", *band_hashes).select(
+        "doc_id", "sig",
         F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(bands)]))
         .alias("band", "bucket"),
     )
-    a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
-    b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
-        .select("a", "b").dropDuplicates()
-    )
+    bucketed = (banded.groupBy("band", "bucket")
+                .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
+                .filter(F.size("ds") > 1))
+
+    def pairs_of(ds):
+        # all i<j member pairs, normalized so a < b regardless of the
+        # nondeterministic collect_list order
+        return F.flatten(F.transform(ds, lambda x, i: F.filter(
+            F.transform(F.slice(ds, i + 2, F.size(ds)), lambda y: F.struct(
+                F.least(x["doc_id"], y["doc_id"]).alias("a"),
+                F.greatest(x["doc_id"], y["doc_id"]).alias("b"),
+                F.when(x["doc_id"] < y["doc_id"], x["sig"])
+                .otherwise(y["sig"]).alias("sig_a"),
+                F.when(x["doc_id"] < y["doc_id"], y["sig"])
+                .otherwise(x["sig"]).alias("sig_b"))),
+            lambda p: p["a"] != p["b"])))
+
+    from tecs_hardware_kbc_spark.operators.augment import _let
+    small = (bucketed.filter(F.size("ds") <= bucket_cap)
+             .select(F.explode(_let(F.col("ds"), pairs_of)).alias("p"))
+             .select("p.a", "p.b", "p.sig_a", "p.sig_b"))
+
+    hot = (bucketed.filter(F.size("ds") > bucket_cap)
+           .select("band", "bucket", F.explode("ds").alias("d")))
+    ha = hot.select("band", "bucket", F.col("d.doc_id").alias("a"),
+                    F.col("d.sig").alias("sig_a"))
+    hb = hot.select("band", "bucket", F.col("d.doc_id").alias("b"),
+                    F.col("d.sig").alias("sig_b"))
+    big = (ha.join(hb, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+           .select("a", "b", "sig_a", "sig_b"))
+
+    out = small.unionByName(big).dropDuplicates(["a", "b"])
+    return out if keep_sigs else out.select("a", "b")
 
 
 def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3,
                             num_hashes: int = 16, bands: int = 4,
-                            threshold: float = 0.7) -> DataFrame:
+                            threshold: float = 0.7,
+                            via: str = "array") -> DataFrame:
     """(a, b, est_jaccard): LSH candidates whose signature agreement >=
-    threshold. est_jaccard = fraction of equal minhash slots."""
-    sigs = minhash_signatures(
-        word_shingles(docs, id_col, text_col, n), num_hashes
-    )
-    pairs = lsh_candidate_pairs(sigs, bands, num_hashes)
-    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    threshold. est_jaccard = fraction of equal minhash slots.
+
+    ``via``: 'array' (default) = the shuffle-free per-row signature path
+    (``minhash_signatures_arr``); 'vocab' = hash-once-per-distinct-
+    shingle join path for boilerplate-heavy corpora. Same signatures,
+    same output, different physical plan (4-8x measured on a corpus with
+    ~11% duplication)."""
+    if via == "array":
+        sigs = minhash_signatures_arr(docs, id_col, text_col, n,
+                                      num_hashes)
+    else:
+        sigs = minhash_signatures(
+            word_shingles(docs, id_col, text_col, n), num_hashes
+        )
+    pairs = lsh_candidate_pairs(sigs, bands, num_hashes, keep_sigs=True)
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b",
@@ -229,8 +312,7 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         ).cast("double") / num_hashes
     )
     return (
-        pairs.join(sa, "a").join(sb, "b")
-        .withColumn("est_jaccard", est)
+        pairs.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )

@@ -76,6 +76,18 @@ def weights_array(model: dict, dim: int = HASH_DIM) -> list[float]:
     return w
 
 
+def qm_score_col(text, model: dict, dim: int = HASH_DIM) -> Column:
+    """The sigmoid score expression of the model forward pass, rounded
+    to 6dp — shared by ``score_quality`` and the fused curation
+    funnel."""
+    warr = F.array(*[F.lit(float(v)) for v in weights_array(model, dim)])
+    z = F.aggregate(
+        token_buckets(text, dim),
+        F.lit(float(model.get("bias", 0.0))),
+        lambda acc, i: acc + F.element_at(warr, i + 1))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def score_quality(docs: DataFrame, model: dict,
                   id_col: str = "doc_id", text_col: str = "text",
                   dim: int = HASH_DIM) -> DataFrame:

@@ -67,15 +67,22 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
     ``PII_PATTERNS`` order (what remains). Pure column expressions — one
     narrow projection, no UDF, no shuffle; at 100 TB this runs at scan
     speed alongside the other per-document curation ops."""
-    out_text = F.col(text_col)
-    counts = []
-    for name, pat in PII_PATTERNS.items():
-        counts.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
-            .alias(f"n_{name}"))
-        out_text = F.regexp_replace(out_text, pat, token)
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()]
     return docs.select(F.col(id_col).alias("doc_id"),
-                       out_text.alias("redacted"), *counts)
+                       redact_col(F.col(text_col), token).alias("redacted"),
+                       *counts)
+
+
+def redact_col(text, token: str = "[PII]") -> Column:
+    """The chained-replacement redaction expression (shared by
+    ``redact_pii`` and the fused curation funnel)."""
+    out_text = text
+    for pat in PII_PATTERNS.values():
+        out_text = F.regexp_replace(out_text, pat, token)
+    return out_text
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -100,29 +107,35 @@ def _stopword_ratio(text_col, lang: str) -> Column:
     return hits / F.greatest(F.size(words), F.lit(1))
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """(doc_id, lang_pred, lang_score): argmax stopword-hit ratio; 'und'
-    (undetermined) when no language scores above zero."""
+def lang_pred_cols(text_col) -> tuple[Column, Column]:
+    """(lang_pred, lang_score) column expressions — the single source of
+    truth shared by ``language_id`` and the fused curation funnel."""
     scores = F.array(*[
-        F.struct(_stopword_ratio(F.col(text_col), lang).alias("score"),
+        F.struct(_stopword_ratio(text_col, lang).alias("score"),
                  F.lit(lang).alias("lang"))
         for lang in sorted(STOPWORDS)
     ])
     best = F.array_max(scores)
+    return (F.when(best["score"] > 0, best["lang"]).otherwise("und"),
+            best["score"])
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax stopword-hit ratio; 'und'
+    (undetermined) when no language scores above zero."""
+    pred, score = lang_pred_cols(F.col(text_col))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.when(best["score"] > 0, best["lang"]).otherwise("und")
-        .alias("lang_pred"),
-        best["score"].alias("lang_score"),
+        pred.alias("lang_pred"),
+        score.alias("lang_score"),
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Length, alpha-ratio, stopword and word-length components, averaged.
-    Each component is clamped to [0,1]; the composite is their mean."""
-    text = F.col(text_col)
+def quality_components(text) -> tuple[Column, Column, Column, Column]:
+    """(len, alpha, stopword, word-length) component expressions, each
+    clamped to [0,1] — shared by ``quality_score`` and the fused
+    curation funnel. The composite quality is their mean."""
     words = _words(text)
     n_chars = F.length(text)
     alpha_ratio = (
@@ -134,6 +147,23 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     mean_wlen = n_chars / F.greatest(F.size(words), F.lit(1))
     wlen_component = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0) \
         .otherwise(0.0)
+    return len_component, alpha_ratio, sw_component, wlen_component
+
+
+def quality_col(text) -> Column:
+    """The composite quality score in [0,1], rounded to 6dp (the
+    oracle-stable convention)."""
+    ln, al, sw, wl = quality_components(text)
+    return F.round((ln + al + sw + wl) / 4.0, 6)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Length, alpha-ratio, stopword and word-length components, averaged.
+    Each component is clamped to [0,1]; the composite is their mean."""
+    text = F.col(text_col)
+    len_component, alpha_ratio, sw_component, wlen_component = \
+        quality_components(text)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.round(len_component, 6).alias("len_score"),
@@ -254,21 +284,19 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
-                   text_col: str = "text",
-                   min_words: int = 50, max_words: int = 100_000,
-                   min_word_len: float = 3.0, max_word_len: float = 10.0,
-                   max_symbol_ratio: float = 0.1,
-                   max_bullet_frac: float = 0.9,
-                   max_ellipsis_frac: float = 0.3,
-                   min_alpha_frac: float = 0.8,
-                   min_stopwords: int = 2) -> DataFrame:
-    """The Gopher quality rule set (Rae et al. 2021, table A1) as one
-    narrow projection: every signal column plus the composite
-    ``gopher_keep`` conjunction at the (configurable) paper thresholds.
-    ``gopher_keep`` is computed from the ROUNDED signal values so a SQL
-    replay of the rounded columns reproduces the verdict bit-for-bit."""
-    text = F.col(text_col)
+def gopher_cols(text,
+                min_words: int = 50, max_words: int = 100_000,
+                min_word_len: float = 3.0, max_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                max_bullet_frac: float = 0.9,
+                max_ellipsis_frac: float = 0.3,
+                min_alpha_frac: float = 0.8,
+                min_stopwords: int = 2) -> dict[str, Column]:
+    """The Gopher rule-set signal expressions plus the composite
+    ``gopher_keep`` — the single source of truth shared by
+    ``gopher_quality`` and the fused curation funnel. ``gopher_keep``
+    is computed from the ROUNDED signal values so a SQL replay of the
+    rounded columns reproduces the verdict bit-for-bit."""
     norm = norm_text(text)
     words = F.split(norm, " ")
     n_words = F.size(words)
@@ -297,16 +325,28 @@ def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
             & (ellipsis_frac <= max_ellipsis_frac)
             & (alpha_frac >= min_alpha_frac)
             & (n_stop >= min_stopwords))
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_req_stopwords": n_stop,
+        "gopher_keep": keep,
+    }
+
+
+def gopher_quality(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", **thresholds) -> DataFrame:
+    """The Gopher quality rule set (Rae et al. 2021, table A1) as one
+    narrow projection: every signal column plus the composite
+    ``gopher_keep`` conjunction at the (configurable) paper thresholds
+    — see ``gopher_cols`` for the expressions and threshold names."""
+    sig = gopher_cols(F.col(text_col), **thresholds)
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        n_words.alias("n_words"),
-        mean_wlen.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.alias("n_req_stopwords"),
-        keep.alias("gopher_keep"),
+        *[c.alias(name) for name, c in sig.items()],
     )
 
 

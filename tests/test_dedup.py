@@ -296,3 +296,45 @@ def test_semantic_dedup_groups_within_cells_only(spark):
     # near-dups NEVER merge across cells even at cos ~ 0.7 (the
     # SemDeDup trade: the candidate join is strictly cell-bounded)
     assert out[2]["canonical_id"] != out[3]["canonical_id"]
+
+
+def test_minhash_arr_signatures_bit_identical(spark, docs):
+    """The shuffle-free per-row signature path (minhash_signatures_arr)
+    must produce BIT-IDENTICAL signatures to the vocab-join path — min
+    is duplicate-insensitive, so hashing per occurrence == hashing per
+    distinct shingle. This pins the 'via' switch to a pure physical-plan
+    choice."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        minhash_signatures_arr,
+    )
+
+    vocab = {r["doc_id"]: r["sig"] for r in
+             minhash_signatures(word_shingles(docs), num_hashes=16)
+             .collect()}
+    arr = {r["doc_id"]: r["sig"] for r in
+           minhash_signatures_arr(docs, num_hashes=16).collect()}
+    assert arr == vocab
+
+    # and the end-to-end pair sets agree between the two physical paths
+    p_arr = {(r["a"], r["b"]) for r in
+             minhash_near_duplicates(docs, threshold=0.5).collect()}
+    p_voc = {(r["a"], r["b"]) for r in
+             minhash_near_duplicates(docs, threshold=0.5,
+                                     via="vocab").collect()}
+    assert p_arr == p_voc
+
+
+def test_lsh_hot_bucket_fallback_exact(spark, docs):
+    """bucket_cap routes over-cap buckets through the streaming
+    self-join; the pair set must be IDENTICAL to in-row expansion
+    (cap=2 forces nearly every bucket through the fallback)."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        minhash_signatures_arr,
+    )
+
+    sigs = minhash_signatures_arr(docs, num_hashes=16)
+    full = {(r["a"], r["b"])
+            for r in lsh_candidate_pairs(sigs).collect()}
+    hot = {(r["a"], r["b"])
+           for r in lsh_candidate_pairs(sigs, bucket_cap=2).collect()}
+    assert full == hot and full
