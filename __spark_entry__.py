@@ -1279,6 +1279,57 @@ def doc_quality_model(spark, sf):
     return score_quality(planted, FROZEN_QUALITY_MODEL)
 
 
+# CCNet-style LM perplexity: train a bigram add-1 LM on the doc_id%5==0
+# reference slice, score EVERY document, bucket head/middle/tail at fixed
+# cutoffs (frozen-artifact pattern).  The oracle replays training AND
+# scoring: n-gram counts, the prefix marginal, |V|, the smoothed
+# conditional logprob and the exp(-avg) fold, all in one DuckDB query.
+_PPL_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+pos AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS ngram,
+               words[i] AS prefix
+        FROM w, unnest(generate_series(1, len(words) - 1)) AS t(i)),
+cnts AS (SELECT ngram, count(*) AS cnt FROM pos WHERE doc_id % 5 = 0
+         GROUP BY ngram),
+pref AS (SELECT string_split(ngram, ' ')[1] AS prefix, sum(cnt) AS pcnt
+         FROM cnts GROUP BY 1),
+voc AS (SELECT count(DISTINCT word) AS v
+        FROM (SELECT unnest(words) AS word FROM w WHERE doc_id % 5 = 0)),
+sc AS (SELECT p.doc_id,
+              ln((coalesce(c.cnt, 0) + 1.0)
+                 / (coalesce(f.pcnt, 0) + (SELECT v FROM voc))) AS lp
+       FROM pos p LEFT JOIN cnts c USING (ngram)
+       LEFT JOIN pref f USING (prefix)),
+agg AS (SELECT doc_id, count(*) AS n_grams, exp(-avg(lp)) AS ppl
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0)::bigint AS n_grams,
+       round(a.ppl, 4) AS ppl,
+       CASE WHEN a.ppl IS NULL THEN 'unscored'
+            WHEN a.ppl <= 30.5 THEN 'head'
+            WHEN a.ppl <= 32.5 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@_q("doc_perplexity", _PPL_SQL)
+def doc_perplexity_q(spark, sf):
+    """CCNet-style LM perplexity (ngram_lm.py): bigram add-1 LM trained
+    on the deterministic doc_id%5==0 reference slice, every document
+    scored via broadcast joins against the count tables + one
+    map-combined doc_id agg, head/middle/tail at fixed cutoffs chosen
+    once from the reference tertiles (30.5 / 32.5 — all three buckets
+    are populated at both sf0.001 and sf0.01, margins >= 0.0019)."""
+    from tecs_hardware_kbc_spark.operators.ngram_lm import (
+        doc_perplexity, perplexity_buckets, train_ngram_lm)
+    d = _t(spark, sf, "documents")
+    lm = train_ngram_lm(d.filter(F.col("doc_id") % 5 == 0), n=2, k=1.0)
+    scored = doc_perplexity(d, lm)
+    return perplexity_buckets(scored, 30.5, 32.5) \
+        .withColumn("ppl", F.round("ppl", 4))
+
+
 # planted URLs for the URL-curation entries: messy case, default ports,
 # tracking params, fragments, a two-level-suffix host every 5th doc
 _PLANT_URL_SQL = """

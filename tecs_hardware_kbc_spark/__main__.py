@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(CCNet/C4 boilerplate pass)")
     cu.add_argument("--gopher", action="store_true",
                     help="also apply the Gopher outlier rule set")
+    cu.add_argument("--lm-ref", default=None,
+                    help="clean reference parquet (doc_id, text) to "
+                         "train the CCNet-style n-gram LM on")
+    cu.add_argument("--max-perplexity", type=float, default=None,
+                    help="drop docs whose LM perplexity exceeds this "
+                         "(requires --lm-ref)")
+    cu.add_argument("--lm-order", type=int, default=2,
+                    help="n-gram order of the perplexity LM")
 
     s = sub.add_parser("ingest", help="stream-ingest new page files")
     s.add_argument("--in", dest="input", required=True)
@@ -139,6 +147,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "curate":
         from tecs_hardware_kbc_spark.curate import curate_to_parquet
+        lm = None
+        if args.lm_ref is not None and args.max_perplexity is not None:
+            from tecs_hardware_kbc_spark.operators.ngram_lm import (
+                train_ngram_lm)
+            lm = train_ngram_lm(spark.read.parquet(args.lm_ref),
+                                n=args.lm_order)
         funnel = curate_to_parquet(
             spark, args.docs, args.out,
             benchmark_path=args.benchmark,
@@ -147,6 +161,8 @@ def main(argv: list[str] | None = None) -> int:
             sample_fraction=args.sample,
             dedup_paragraphs=args.dedup_paragraphs,
             gopher_rules=args.gopher,
+            ngram_lm=lm,
+            max_perplexity=args.max_perplexity,
         )
         print(json.dumps(funnel))
         return 0

@@ -6,9 +6,10 @@ submits, with per-stage row accounting so every drop is attributable:
 
     exact dedup -> near-dup dedup (minhash LSH + connected components,
     keep-one-per-group) -> [corpus-wide paragraph dedup] -> language
-    keep-list -> quality gate -> [Gopher outlier rules] -> PII
-    redaction -> optional benchmark decontamination -> deterministic
-    sample -> train/val/test split -> parquet partitioned by split
+    keep-list -> quality gate -> [Gopher outlier rules] -> [LM
+    perplexity gate (CCNet)] -> PII redaction -> optional benchmark
+    decontamination -> deterministic sample -> train/val/test split ->
+    parquet partitioned by split
 
 Every stage is one of the independently oracle-checked operators
 (`dedup.py`, `textstats.py`, `sampling.py`); this module only wires
@@ -39,7 +40,9 @@ def curate(spark: SparkSession, docs: DataFrame,
            max_per_domain: int | None = None,
            url_col: str = "url",
            quality_model: dict | None = None,
-           min_model_score: float = 0.5) -> tuple[DataFrame, dict]:
+           min_model_score: float = 0.5,
+           ngram_lm=None,
+           max_perplexity: float | None = None) -> tuple[DataFrame, dict]:
     """Run the curation funnel over ``docs`` (doc_id, text, ...).
 
     Returns ``(curated, funnel)``: the curated DataFrame (original
@@ -139,10 +142,28 @@ def curate(spark: SparkSession, docs: DataFrame,
         funnel[k] = counts[k]
     cur = flagged.filter(cum).drop(*[f"_f_{k}" for k, _ in flags])
 
+    n_cur = counts[flags[-1][0]]
+
+    # 4b (optional). LM perplexity gate (CCNet): the trained reference
+    # LM (a train-time artifact, like the frozen quality model) scores
+    # the post-gate survivors; unlike the fused per-row gates this
+    # needs the explode + broadcast-join + doc agg, so it runs as its
+    # own stage on the already-thinned corpus.  Unscored (too-short)
+    # docs are kept — no evidence either way.
+    if ngram_lm is not None and max_perplexity is not None:
+        from tecs_hardware_kbc_spark.operators.ngram_lm import (
+            doc_perplexity)
+        keep_ppl = (doc_perplexity(cur, ngram_lm)
+                    .filter(F.col("ppl").isNull()
+                            | (F.col("ppl") <= float(max_perplexity)))
+                    .select("doc_id").persist())
+        cur = cur.join(keep_ppl, "doc_id", "left_semi")
+        n_cur = keep_ppl.count()
+        funnel["lm_perplexity"] = n_cur
+
     # 5. PII redaction (text is REPLACED by its redacted form) — a
     # second narrow projection AFTER the gate filter so dropped rows
     # never pay for the chained regex replacements
-    n_cur = counts[flags[-1][0]]
     cur = cur.withColumn("text", redact_col(text))
     funnel["pii_redacted"] = n_cur  # row-preserving
 

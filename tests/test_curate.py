@@ -102,3 +102,30 @@ def test_curate_optional_stages(spark):
     assert funnel["para_dedup"] == 3      # doc 2 dropped (empty)
     assert funnel["gopher_gate"] == 2     # doc 3 dropped (symbols)
     assert funnel["output"] == 2
+
+
+def test_curate_lm_perplexity_gate(spark):
+    """The CCNet LM gate drops exactly the out-of-domain doc: an LM
+    trained on clean prose keeps in-domain docs and kills gibberish."""
+    from tecs_hardware_kbc_spark.operators.ngram_lm import train_ngram_lm
+
+    ref = spark.createDataFrame(
+        [(i, D0) for i in range(4)] + [(4, D5), (5, D6)],
+        "doc_id int, text string")
+    lm = train_ngram_lm(ref, n=2)
+    rows = [
+        (0, D0 + "zero marker words here"),               # in-domain
+        (1, D5 + "one marker tail words"),                # in-domain
+        (2, ("zxq vbnm qwerty plok mnbv xswz qazx edcr tgbv yhnm "
+             "ujmk iolp wsad " * 8)),                     # gibberish
+        (3, "solo"),                                      # unscored: kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    curated, funnel = curate(
+        spark, docs, min_quality=0.0, ngram_lm=lm,
+        max_perplexity=float(lm.vocab_size) / 2)
+
+    out = {r["doc_id"] for r in curated.collect()}
+    assert out == {0, 1, 3}
+    assert funnel["lm_perplexity"] == 3
+    assert funnel["output"] == 3
