@@ -91,6 +91,7 @@ def run_suite() -> dict:
     def _noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    anchor_start = _host_anchor()
     _ramp_cpu()
     result = run_kbc(spark, pages, gaz, gold)
     n_triples = result.triples.count()
@@ -137,7 +138,42 @@ def run_suite() -> dict:
         "kbc_triples": n_triples,
         "pages_per_sec": round(n_page_rows / timings["kbc_e2e"], 2),
         "corpus_gen_sec": round(gen_s, 3),
+        # same-run host anchors: absolute walls of two fixed plain-python
+        # kernels (no Spark, no JVM), measured before the first timed lap
+        # and after the last.  The box is a shared bursty VM whose
+        # identical-work walls swing more than 10x between windows
+        # (co-tenant memory-bus steal: mem_wall_32 has measured 0.84s and
+        # 11.25s for THE SAME KERNEL in one session), so suite numbers are
+        # only comparable across rounds after normalizing to the anchor
+        # (BENCH.md reference window: cpu_wall_32 1.06s, mem_wall_32
+        # 0.84s).  A suite that looks 2x slower on an anchor that is 10x
+        # slower is the box, not a code regression; start/end drift shows
+        # whether one window poisoned part of the run.
+        "host_anchor": {"start": anchor_start, "end": _host_anchor()},
     }
+
+
+def _host_anchor() -> dict:
+    """One repeat of each ceiling kernel at 32 procs — cheap (~3s),
+    absolute, Spark-free; co-recorded so every suite JSON carries the
+    host state it was measured under."""
+    import multiprocessing as mp
+
+    walls = {}
+    for name, kern in (("cpu", _ceiling_cpu_kernel),
+                       ("mem", _ceiling_mem_kernel)):
+        best = None
+        for _ in range(2):
+            ps = [mp.Process(target=kern, args=(1,)) for _ in range(32)]
+            t0 = time.monotonic()
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            d = time.monotonic() - t0
+            best = d if best is None else min(best, d)
+        walls[f"{name}_wall_32"] = round(best, 2)
+    return walls
 
 
 def run_datapath(cpus: int, pages: int, repeats: int = 5) -> dict:
@@ -331,9 +367,11 @@ def run_curate(cpus: int, n_docs: int, repeats: int = 3) -> dict:
     near-dups, 12% German, 8% junk, hot-domain urls) written ONCE to
     data/ and reused across parallelism levels, then the full funnel
     (exact dedup -> minhash-CC near-dedup -> en keep-list -> quality ->
-    Gopher rules -> PII redaction -> split) timed best-of-N warm. The
-    funnel's own stage counts are part of the job (they are in the
-    product path), so the timing includes them."""
+    Gopher rules -> LM perplexity gate -> PII redaction -> split) timed
+    best-of-N warm. The LM trains once, untimed (frozen artifact); laps
+    pay only the scoring gate. The funnel's own stage counts are part
+    of the job (they are in the product path), so the timing includes
+    them."""
     import shutil
 
     from tecs_hardware_kbc_spark.curate import curate
@@ -352,11 +390,21 @@ def run_curate(cpus: int, n_docs: int, repeats: int = 3) -> dict:
             .mode("overwrite").parquet(path)
     docs = spark.read.parquet(path).select("doc_id", "text")
 
+    # the CCNet LM is a build-once frozen artifact (train_ngram_lm
+    # localCheckpoints its count tables), so training happens ONCE,
+    # untimed — the laps pay only the scoring gate, as production would
+    import pyspark.sql.functions as F
+
+    from tecs_hardware_kbc_spark.operators.ngram_lm import train_ngram_lm
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 16 == 0), n=2)
+
     def lap() -> tuple[float, dict]:
         spark.catalog.clearCache()  # each lap re-persists its ID sets
         t0 = time.monotonic()
         curated, funnel = curate(spark, docs, langs=["en"],
-                                 min_quality=0.3, gopher_rules=True)
+                                 min_quality=0.3, gopher_rules=True,
+                                 ngram_lm=lm,
+                                 max_perplexity=lm.vocab_size / 2)
         funnel["written"] = curated.count()
         return time.monotonic() - t0, funnel
 
@@ -408,6 +456,7 @@ def run_curate_scaling() -> None:
         "strong_eff": round(strong_eff, 3),
         "weak_eff": round(weak_eff, 3),
         "funnel_32": runs_32[0]["funnel"],
+        "host_anchor": _host_anchor(),
     }
     print(json.dumps(report))
 

@@ -88,13 +88,18 @@ def ngrams_col(text, n: int) -> Column:
 
 
 def train_ngram_lm(ref_docs: DataFrame, n: int = 2, k: float = 1.0,
-                   text_col: str = "text") -> NgramLM:
+                   text_col: str = "text",
+                   materialize: bool = True) -> NgramLM:
     """One pass over the (small) reference corpus: n-gram counts, their
     prefix marginal, and the unigram vocabulary size.
 
     The three aggregations share the single exploded-n-gram scan; the
     prefix table is derived from the n-gram table (sum of cnt by
-    prefix), not re-counted from text, so they can never disagree."""
+    prefix), not re-counted from text, so they can never disagree.
+
+    ``materialize`` localCheckpoints both count tables: the LM is a
+    build-once frozen artifact, and every scoring query broadcasts it —
+    without this, each scoring run would re-run training lineage."""
     if n < 2:
         raise ValueError("train_ngram_lm needs n >= 2 (conditional LM)")
     grams = ref_docs.select(
@@ -105,6 +110,9 @@ def train_ngram_lm(ref_docs: DataFrame, n: int = 2, k: float = 1.0,
     prefix_counts = (ngram_counts
                      .groupBy(prefix_of.alias("prefix"))
                      .agg(F.sum("cnt").alias("pcnt")))
+    if materialize:
+        ngram_counts = ngram_counts.localCheckpoint()
+        prefix_counts = prefix_counts.localCheckpoint()
     vocab_size = (ref_docs
                   .select(F.explode(words_col(F.col(text_col)))
                           .alias("w"))
