@@ -8,16 +8,22 @@ scoring time, ``transistor_spaces.py:179-193`` /
 ``transistor_utils.py:408-412``); a graph canonicalization is the web-scale
 generalization: aliases discovered on *different* pages still unify.
 
-Algorithm: iterative min-label propagation — each round every node takes
-the min component id among itself and its neighbors:
-
-    comp <- min(comp, min over neighbors(comp))
-
-converging in O(diameter) rounds. Each round is one shuffle on the edge
-key; ``localCheckpoint`` truncates lineage so plans don't grow (SURVEY §4);
-convergence is detected by counting changed labels. Alias components are
-tiny and diameter-bounded, so rounds stay single-digit even at 10^12 docs;
-hot nodes are handled by the AQE skew-join config from session.py.
+Algorithm: alternating large-star / small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+MapReduce and Beyond", SoCC'14). Each phase is pure hash-keyed
+groupBy/join (never a collect of a neighborhood, so a 10^7-node
+component costs a shuffle partition, not an executor's heap), and the
+edge set provably contracts to component-min stars in O(log^2 n) rounds
+WORST CASE — independent of graph diameter. That bound is the point:
+the previous min-label-propagation version converged in O(diameter)
+rounds, and a near-dup chain (boilerplate drifting one edit per page —
+a real web-corpus shape) has diameter ~ component size, so at any fixed
+iteration cap it silently returned split components. Star contraction
+cannot: long chains halve every round, and non-convergence (only
+possible via the safety cap) raises instead of returning wrong labels.
+``localCheckpoint`` truncates lineage each round so plans don't grow
+(SURVEY §4); hot nodes are handled by the AQE skew-join config from
+session.py.
 """
 
 from __future__ import annotations
@@ -26,47 +32,91 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _edge_sig(e: DataFrame) -> tuple:
+    """Order-free signature of an edge SET (count + xxhash64 xor-fold)
+    — cheap convergence test without a full set-difference join. XOR,
+    not SUM: it cannot overflow under ANSI mode, and the edge set is
+    deduplicated so xor's multiset-blindness cannot hide a change that
+    the count doesn't already reveal."""
+    h = F.xxhash64("u", "v")
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.bit_xor(h).alias("x"),
+                F.sum(h.cast("decimal(38,0)")).alias("s")).first()
+    return (row["n"], row["x"], row["s"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every LARGER neighbor v to
+    m = min(N(u) + {u}).  Emitted edges stay (child > parent)-oriented
+    because v > u >= m."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("m")))
+    return (sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u over its SMALLER neighbors Γ(u): connect every
+    member of Γ(u) + {u} to m = min Γ(u).  Compresses the short side of
+    every path onto the local minimum."""
+    d = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .dropDuplicates())
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates())
+
+
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
     """(node, component) for the undirected graph given by ``edges``.
 
     ``component`` is the lexicographic min node id of the component.
+    Star contraction guarantees convergence within O(log^2 n) rounds;
+    ``max_iter`` is a safety cap (50 covers any graph that fits on
+    hardware) and raises — never returns partial labels — if hit.
     """
-    sym = (
+    e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"),
-                                  F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("u").alias("node"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
         .dropDuplicates()
-        .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    sig = None
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    "component", F.coalesce("nbr_min", "component")
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("_changed"),
-            )
-        ).localCheckpoint()
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _edge_sig(e)
+        if new_sig == sig:
             break
-    return labels
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "star-contraction rounds — edge ids may not be totally "
+            "ordered (mixed-type keys?)")
+    # converged edge set = stars (child -> component min); roots and
+    # nodes whose component is a single edge's min appear only as v
+    return (
+        nodes.join(e.select(F.col("u").alias("node"),
+                            F.col("v").alias("component")),
+                   "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
 
 
 def part_alias_edges(part_mentions: DataFrame) -> DataFrame:

@@ -23,6 +23,58 @@ def test_cc_chain_and_islands(spark):
     assert "m" not in comp  # self-loops contribute no nodes
 
 
+def test_cc_long_chain_beyond_diameter_caps(spark):
+    """A 120-edge path — boilerplate drifting one edit per page. Label
+    propagation converges in O(diameter) rounds and would need 120; star
+    contraction must resolve it inside its O(log^2 n) bound."""
+    n = 121
+    ids = [f"n{i:04d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "src string, dst string")
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {ids[0]}
+
+
+def test_cc_matches_union_find_oracle(spark):
+    """Random graph vs a driver-side union-find: same partition, and
+    every component labeled by its min member."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(f"v{rng.randrange(n):03d}", f"v{rng.randrange(n):03d}")
+             for _ in range(160)]
+    edges = [e for e in edges if e[0] != e[1]]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for a, b in edges:
+        groups.setdefault(find(a), set()).update((a, b))
+    want = {node: min(members) for members in groups.values()
+            for node in members}
+
+    got = {r["node"]: r["component"]
+           for r in connected_components(
+               spark.createDataFrame(edges, "src string, dst string")
+           ).collect()}
+    assert got == want
+
+
 def test_part_alias_edges_from_expansions(spark):
     mentions = spark.createDataFrame(
         [("u", 0, 5, 20, "BC546A/B", "BC546A"),
