@@ -2509,6 +2509,65 @@ def dedup_e2e(spark, sf):
     return d.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    """Replay of the continuous-crawl shape: even doc_ids are
+    'yesterday's corpus' (the persisted LSH index), odd doc_ids are the
+    new batch; every new doc reports its ONE deterministic dup partner
+    (index matches beat batch matches, then smallest id)."""
+    rows = num_hashes // bands
+    hashes = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 8))::ubigint::bigint)"
+        f" AS m{i}" for i in range(num_hashes))
+    banded = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"m{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig" for b in range(bands))
+    eq = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+                    for i in range(num_hashes))
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+       FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+sig AS (SELECT doc_id, {hashes} FROM sh GROUP BY doc_id),
+banded AS ({banded}),
+nb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+idx AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+cand AS (
+  SELECT DISTINCT n.doc_id AS d, i.doc_id AS p, 0 AS pri
+  FROM nb n JOIN idx i USING (band, bucket) WHERE n.doc_id <> i.doc_id
+  UNION ALL
+  SELECT DISTINCT y.doc_id AS d, x.doc_id AS p, 1 AS pri
+  FROM nb x JOIN nb y USING (band, bucket) WHERE x.doc_id < y.doc_id),
+scored AS (
+  SELECT d, p, pri, ({eq}) / {num_hashes}.0 AS est
+  FROM cand JOIN sig sa ON cand.d = sa.doc_id
+            JOIN sig sb ON cand.p = sb.doc_id
+  WHERE ({eq}) / {num_hashes}.0 >= {threshold}),
+best AS (SELECT d, p, pri, est,
+                row_number() OVER (PARTITION BY d ORDER BY pri, p) AS rn
+         FROM scored)
+SELECT d AS doc_id, p AS dup_of, round(est, 4) AS est_jaccard,
+       CASE WHEN pri = 0 THEN 'index' ELSE 'batch' END AS source
+FROM best WHERE rn = 1
+"""
+
+
+@_q("dedup_incremental", _incremental_dedup_sql())
+def dedup_incremental(spark, sf):
+    """Incremental near-dedup against a persisted corpus index — the
+    production shape for continuous crawls: the history side is a
+    pre-banded (band, bucket)-keyed table that never re-shingles or
+    reshuffles; only the increment moves."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        incremental_near_duplicates, minhash_index)
+    d = _t(spark, sf, "documents")
+    index = minhash_index(d.filter(F.col("doc_id") % 2 == 0))
+    out = incremental_near_duplicates(
+        d.filter(F.col("doc_id") % 2 == 1), index, threshold=0.5)
+    return out.withColumn("est_jaccard", F.round("est_jaccard", 4))
+
+
 def _curate_sql() -> str:
     """DuckDB replay of the ENTIRE curation funnel (curate.curate):
     exact dedup -> minhash LSH + transitive-closure CC keeper -> language

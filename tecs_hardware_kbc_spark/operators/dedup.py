@@ -233,6 +233,26 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     )
 
 
+def banded_buckets(signatures: DataFrame, bands: int = 4,
+                   num_hashes: int = 16) -> DataFrame:
+    """(doc_id, sig, band, bucket): one row per (doc, band) — the band
+    bucket is the md5 of that band's signature slice. This IS the LSH
+    index row format: two docs are candidate near-dups iff they share a
+    (band, bucket) key."""
+    rows = num_hashes // bands
+    band_hashes = [
+        F.md5(F.concat_ws(",", *[
+            F.col("sig")[b * rows + r].cast("string") for r in range(rows)
+        ])).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    return signatures.select("doc_id", "sig", *band_hashes).select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(bands)]))
+        .alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         num_hashes: int = 16,
                         keep_sigs: bool = False,
@@ -250,18 +270,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
     — exact, no pair lost, memory bounded. ``keep_sigs=True`` carries
     both signatures on every pair (columns ``sig_a``/``sig_b``) so
     verification needs no join back against the signature table."""
-    rows = num_hashes // bands
-    band_hashes = [
-        F.md5(F.concat_ws(",", *[
-            F.col("sig")[b * rows + r].cast("string") for r in range(rows)
-        ])).alias(f"_band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select("doc_id", "sig", *band_hashes).select(
-        "doc_id", "sig",
-        F.posexplode(F.array(*[F.col(f"_band{b}") for b in range(bands)]))
-        .alias("band", "bucket"),
-    )
+    banded = banded_buckets(signatures, bands, num_hashes)
     # Lazy localCheckpoint: the small/hot branches below BOTH consume
     # this aggregation, and the signature expressions are lambda-heavy
     # (HOF lambda-variable ids do not canonicalize), so without the
@@ -339,6 +348,95 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
+
+
+def _slot_agreement(sig_a, sig_b, num_hashes: int):
+    """Fraction of equal minhash slots — the unbiased Jaccard estimate."""
+    return (
+        F.aggregate(
+            F.zip_with(sig_a, sig_b,
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0), lambda acc, v: acc + v,
+        ).cast("double") / num_hashes
+    )
+
+
+def minhash_index(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """The persistable LSH index of an already-curated corpus:
+    (doc_id, sig, band, bucket), one row per (doc, band).
+
+    This is the state a CONTINUOUS crawl pipeline carries between
+    batches: dedup yesterday's corpus once, persist this table, and
+    every later increment joins against it instead of re-shingling
+    10^12 historical documents. Write it partitioned by ``band`` and
+    bucketed/sorted by ``bucket`` (Iceberg ``bucket(bucket, N)``
+    transform or parquet ``bucketBy`` — same declaration as
+    plans/bucketing.py) so the increment join below is storage-
+    partitioned: the index side never shuffles, ever."""
+    return banded_buckets(
+        minhash_signatures_arr(docs, id_col, text_col, n, num_hashes),
+        bands, num_hashes)
+
+
+def incremental_near_duplicates(new_docs: DataFrame, index: DataFrame,
+                                id_col: str = "doc_id",
+                                text_col: str = "text", n: int = 3,
+                                num_hashes: int = 16, bands: int = 4,
+                                threshold: float = 0.7) -> DataFrame:
+    """(doc_id, dup_of, est_jaccard, source): every NEW document that
+    near-duplicates the indexed corpus (source='index') or an
+    earlier-id document of its own batch (source='batch'). Keeping the
+    survivors is one anti-join; appending ``minhash_index(survivors)``
+    to the index closes the loop for the next batch.
+
+    Each flagged doc reports ONE deterministic partner: index matches
+    beat batch matches (history wins — the indexed copy is the one
+    already kept), then the smallest partner id. est_jaccard is that
+    partner's signature agreement.
+
+    Plan shape at 10^12 indexed docs + 10^9-doc increment: the
+    increment's signatures are the shuffle-free array path; vs-index is
+    ONE equi-join keyed (band, bucket) against a table stored bucketed
+    on exactly that key, so only the increment moves; within-batch
+    reuses the one-shuffle banded-bucket group join. Nothing rescans or
+    reshuffles history."""
+    sigs = minhash_signatures_arr(new_docs, id_col, text_col, n,
+                                  num_hashes)
+    nb = banded_buckets(sigs, bands, num_hashes).localCheckpoint(
+        eager=False)
+
+    idx = index.select(F.col("doc_id").alias("_p"),
+                       F.col("sig").alias("_psig"), "band", "bucket")
+    vs_index = (
+        nb.join(idx, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("_p"))
+        .select("doc_id", "_p", "_psig", "sig", F.lit(0).alias("_pri"))
+    )
+    batch = (
+        lsh_candidate_pairs(nb.select("doc_id", "sig").dropDuplicates(
+            ["doc_id"]), bands, num_hashes, keep_sigs=True)
+        .select(F.col("b").alias("doc_id"), F.col("a").alias("_p"),
+                F.col("sig_a").alias("_psig"),
+                F.col("sig_b").alias("sig"), F.lit(1).alias("_pri"))
+    )
+    est = _slot_agreement(F.col("sig"), F.col("_psig"), num_hashes)
+    matches = (
+        vs_index.unionByName(batch)
+        .withColumn("_est", est)
+        .filter(F.col("_est") >= threshold)
+        .dropDuplicates(["doc_id", "_p", "_pri"])
+    )
+    best = (
+        matches.groupBy("doc_id")
+        .agg(F.min(F.struct("_pri", "_p", "_est")).alias("_m"))
+    )
+    return best.select(
+        "doc_id", F.col("_m._p").alias("dup_of"),
+        F.col("_m._est").alias("est_jaccard"),
+        F.when(F.col("_m._pri") == 0, F.lit("index"))
+        .otherwise(F.lit("batch")).alias("source"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",

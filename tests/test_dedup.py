@@ -347,3 +347,62 @@ def test_exact_keepers_equivalent(spark, docs):
                    .filter("doc_id = canonical_id").collect()}
     direct = {r["doc_id"] for r in exact_keepers(docs).collect()}
     assert direct == via_mapping
+
+
+def test_incremental_dedup_flags_index_and_batch(spark):
+    """Continuous-crawl shape: new docs that dup the indexed corpus are
+    flagged 'index'; new docs that dup an earlier-id batchmate are
+    flagged 'batch'; unique new docs are absent. A doc that dups BOTH
+    reports the index partner (history wins)."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        incremental_near_duplicates, minhash_index)
+
+    old = spark.createDataFrame(
+        [(0, BASE), (2, "totally unrelated reference corpus sentence "
+                        "about compilers optimizing loop nests")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(11, BASE.replace("angry", "sleepy")),     # near-dups index 0
+         (13, "fresh unique content nothing resembles this string of "
+              "words about marine biology and tidal pools"),
+         (15, BASE.replace("angry", "sleepy")),     # dups 0 AND 11
+         (17, "a second theme paragraph discussing volcanic islands "
+              "and their coral reef ecosystems in the warm pacific"),
+         (19, "a second theme paragraph discussing volcanic islands "
+              "and their coral reef ecosystems in the cold pacific")],
+        # 19 near-dups 17 only (both new): batch pair, keeper = 17
+        "doc_id long, text string")
+    index = minhash_index(old)
+    out = {r["doc_id"]: r for r in incremental_near_duplicates(
+        new, index, threshold=0.5).collect()}
+
+    assert out[11]["source"] == "index" and out[11]["dup_of"] == 0
+    assert out[15]["source"] == "index" and out[15]["dup_of"] == 0
+    assert 13 not in out                      # unique within batch+index
+    assert out[19]["source"] == "batch" and out[19]["dup_of"] == 17
+    assert 17 not in out or out[17]["source"] == "batch"
+
+
+def test_incremental_dedup_closes_the_loop(spark):
+    """Appending the survivors' index rows makes the next batch's copy
+    of a survivor flag against it — the carry-state contract."""
+    from tecs_hardware_kbc_spark.operators.dedup import (
+        incremental_near_duplicates, minhash_index)
+
+    old = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    batch1 = spark.createDataFrame(
+        [(11, "entirely new survivor content that will join the index "
+              "and catch its own future near duplicates arriving later")],
+        "doc_id long, text string")
+    index = minhash_index(old)
+    assert incremental_near_duplicates(batch1, index).count() == 0
+
+    index2 = index.unionByName(minhash_index(batch1))
+    batch2 = spark.createDataFrame(
+        [(21, "entirely new survivor content that will join the index "
+              "and catch its own future near duplicates arriving soon")],
+        "doc_id long, text string")
+    out = incremental_near_duplicates(batch2, index2,
+                                      threshold=0.5).collect()
+    assert len(out) == 1
+    assert out[0]["dup_of"] == 11 and out[0]["source"] == "index"
