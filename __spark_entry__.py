@@ -2509,6 +2509,93 @@ def dedup_e2e(spark, sf):
     return d.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+def _bpe_ctes(n_merges: int) -> str:
+    """Shared CTE chain replaying train_bpe: word frequencies -> wrapped
+    double-space symbol reps -> n_merges unrolled rounds of (pair counts
+    over the VOCAB, argmax with the (cnt DESC, l, r) tiebreak, plain
+    boundary-owning substring replace)."""
+    parts = [f"""w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+wf AS (SELECT word, count(*) AS freq
+       FROM (SELECT unnest(words) AS word FROM w)
+       WHERE word <> '' GROUP BY word),
+rep0 AS (SELECT word, freq,
+  ' ' || array_to_string(regexp_split_to_array(word, ''), '  ') || ' '
+  AS rep FROM wf)"""]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS (
+  SELECT t.l AS l, t.r AS r, sum(freq) AS cnt FROM (
+    SELECT freq, unnest([struct_pack(l := toks[j], r := toks[j+1])
+                         for j in generate_series(1, len(toks)-1)]) AS t
+    FROM (SELECT string_split(trim(rep), '  ') AS toks, freq
+          FROM rep{i})
+  ) GROUP BY t.l, t.r),
+b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+rep{i + 1} AS (SELECT word, freq,
+  replace(rep,
+          ' ' || (SELECT l FROM b{i}) || '  ' || (SELECT r FROM b{i}) || ' ',
+          ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ')
+  AS rep FROM rep{i})""")
+    return ",\n".join(parts)
+
+
+_BPE_MERGES = 6
+
+
+def _bpe_merges_sql(n_merges: int = _BPE_MERGES) -> str:
+    ranks = "\nUNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, l, r FROM b{i}"
+        for i in range(n_merges))
+    return f"WITH {_bpe_ctes(n_merges)}\n{ranks}"
+
+
+def _bpe_tokens_sql(n_merges: int = _BPE_MERGES) -> str:
+    return f"""
+WITH {_bpe_ctes(n_merges)},
+seg AS (SELECT word, string_split(trim(rep), '  ') AS tokens
+        FROM rep{n_merges}),
+dw AS (SELECT doc_id, i AS pos, words[i] AS word
+       FROM w, unnest(generate_series(1, len(words))) AS t(i)
+       WHERE words[i] <> ''),
+dt AS (SELECT doc_id, pos,
+              coalesce(s.tokens, regexp_split_to_array(word, ''))
+              AS tokens
+       FROM dw LEFT JOIN seg s USING (word)),
+flat AS (SELECT doc_id, pos, j, tokens[j] AS tok
+         FROM dt, unnest(generate_series(1, len(tokens))) AS u(j))
+SELECT doc_id, count(*) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos, j)) AS tokens_md5
+FROM flat GROUP BY doc_id
+"""
+
+
+@_q("doc_bpe_merges", _bpe_merges_sql())
+def doc_bpe_merges(spark, sf):
+    """BPE tokenizer training (Sennrich et al. 2016) over the documents
+    table: the ordered merge list. Training statistics live on the
+    word-frequency table (one corpus groupBy, then n_merges aggregations
+    over the ~vocab-sized rep table — the corpus is never rescanned), so
+    at 10^12 docs the trainer costs one shuffle plus control-plane."""
+    from tecs_hardware_kbc_spark.operators.bpe import train_bpe
+    model = train_bpe(_t(spark, sf, "documents"), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(model.merges)],
+        "merge_rank int, l string, r string")
+
+
+@_q("doc_bpe_tokens", _bpe_tokens_sql())
+def doc_bpe_tokens(spark, sf):
+    """The trained tokenizer applied back to the corpus: ONE broadcast
+    join of the segmented vocabulary against exploded words, per-doc
+    reassembly in word order; value-pinned via an md5 over the full
+    token tape."""
+    from tecs_hardware_kbc_spark.operators.bpe import apply_bpe, train_bpe
+    d = _t(spark, sf, "documents")
+    out = apply_bpe(d, train_bpe(d, n_merges=_BPE_MERGES))
+    return out.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("tokens_md5"))
+
+
 def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4,
                            threshold: float = 0.5) -> str:
     """Replay of the continuous-crawl shape: even doc_ids are
