@@ -1222,6 +1222,73 @@ def doc_para_dedup(spark, sf):
                       "n_paras_kept")
 
 
+def _span_dedup_sql(L: int = 8) -> str:
+    """DuckDB replay of dedup.span_dedup (exact substring dedup, Lee et
+    al. 2022) over planted shared passages: rolling md5 L-gram window,
+    row_number over fp ordered by (doc_id, start), per-doc cut list,
+    position-coverage rebuild."""
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    return f"""
+WITH b AS (SELECT doc_id,
+    text || ' shared span passage number ' || (doc_id % 9)::varchar
+         || ' padder words keep going onward steadily'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' midline unique ' || doc_id::varchar
+                      || ' shared span passage number ' || (doc_id % 9)::varchar
+                      || ' padder words keep going onward steadily'
+                 ELSE '' END AS t
+    FROM documents),
+w AS (SELECT doc_id, string_split({norm}, ' ') AS words FROM b),
+sp AS (SELECT doc_id, i - 1 AS start,
+              md5(array_to_string(words[i:i+{L - 1}], ' ')) AS fp
+       FROM w, unnest(generate_series(1, len(words) - {L} + 1)) AS u(i)
+       WHERE len(words) >= {L}),
+r AS (SELECT doc_id, start,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+      FROM sp),
+c AS (SELECT doc_id, list_sort(list(start)) AS cut_starts
+      FROM r WHERE rn > 1 GROUP BY doc_id),
+k AS (SELECT w.doc_id, words,
+             list_filter(generate_series(0, len(words) - 1),
+                         p -> len(list_filter(coalesce(cut_starts, []),
+                                              s -> s <= p AND p < s + {L})) = 0)
+               AS keep_idx
+      FROM w LEFT JOIN c ON w.doc_id = c.doc_id)
+SELECT doc_id,
+       md5(coalesce(array_to_string(
+             list_transform(keep_idx, p -> words[p + 1]), ' '), ''))
+         AS dedup_md5,
+       len(words) AS n_words,
+       len(words) - len(keep_idx) AS n_words_removed
+FROM k
+"""
+
+
+@_q("doc_span_dedup", _span_dedup_sql())
+def doc_span_dedup(spark, sf):
+    """Exact substring dedup (dedup.span_dedup — Lee et al. 2022's
+    ExactSubstr as a DataFrame plan): an 11-word passage planted per
+    doc_id %% 9 (kept only in its corpus-first doc) plus a second in-doc
+    copy every 4th doc; the rebuilt text (as md5) and removed-word
+    counts hash-checked against the DuckDB rolling-window replay.
+    First occurrence = smallest (doc_id, start)."""
+    from tecs_hardware_kbc_spark.operators.dedup import span_dedup
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    passage = F.concat(F.lit(" shared span passage number "),
+                       (did % 9).cast("string"),
+                       F.lit(" padder words keep going onward steadily"))
+    planted = F.concat(
+        F.col("text"), passage,
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" midline unique "), did.cast("string"),
+                        passage)).otherwise(F.lit("")))
+    out = span_dedup(d.select("doc_id", planted.alias("text")),
+                     span_words=8)
+    return out.select("doc_id", F.md5("text_dedup").alias("dedup_md5"),
+                      "n_words", "n_words_removed")
+
+
 _QM_POS = " editorial archive longform verified citation"
 _QM_NEG = " clickbait spam adfarm popup tracker"
 

@@ -132,6 +132,94 @@ def paragraph_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def duplicate_span_starts(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          span_words: int = 8) -> DataFrame:
+    """(doc_id, start) of every CORPUS-DUPLICATED ``span_words``-word span
+    occurrence that is not the corpus-first occurrence of that span —
+    the marking half of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    ExactSubstr removes repeated ~50-token byte ranges that doc-level
+    minhash can't see, e.g. a licence block pasted into otherwise-unique
+    pages). Suffix arrays don't distribute; a rolling window of md5'd
+    word ``span_words``-grams over normalized text finds the same
+    fixed-length repeats as a pure DataFrame plan.
+
+    First occurrence = smallest (doc_id, start), so the survivor is
+    deterministic and every duplicated span's text survives exactly once
+    corpus-wide. Overlapping duplicated windows simply produce adjacent
+    flagged starts; the removal half (``span_dedup``) unions their
+    coverage, which is exactly the paper's "merge overlapping dup
+    ranges".
+
+    Plan: per-doc fingerprints are built INSIDE the words array (one
+    transform + explode of narrow (start, fp) rows — the wide words
+    array never rides through the explode), then one row_number window
+    keyed by fp. One shuffle, keyed by a high-cardinality hash; hot
+    spans (boilerplate repeated millions of times) collapse at the
+    window like paragraph_dedup's — never a join explosion."""
+    from pyspark.sql import Window
+
+    words = F.split(norm_text(F.col(text_col)), " ")
+    starts = F.when(
+        F.size(words) >= span_words,
+        F.sequence(F.lit(0), F.size(words) - span_words),
+    ).otherwise(F.array().cast("array<int>"))
+    span_fps = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.md5(F.array_join(F.slice(words, s + 1, span_words), " "))
+            .alias("fp")))
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(span_fps).alias("sp")
+    ).select("doc_id", F.col("sp.start").alias("start"),
+             F.col("sp.fp").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id", "start")
+    return (occ.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+            .select("doc_id", "start"))
+
+
+def span_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span_words: int = 8) -> DataFrame:
+    """Exact substring deduplication (the removal half): cut every word
+    position covered by a non-first duplicated ``span_words``-gram and
+    rebuild the text. One row per input document: (doc_id, text_dedup,
+    n_words, n_words_removed). A document that is an exact copy of an
+    earlier one loses ALL its positions (text_dedup = '') — doc-level
+    exact dedup is the degenerate case; partial paste-ins lose only the
+    pasted range while the unique remainder survives, which is the whole
+    point of span-level over doc-level dedup. Single pass, as in the
+    reference recipe: removal can create new word adjacencies, which are
+    NOT re-scanned.
+
+    Plan: duplicate_span_starts (one fp-keyed shuffle) -> per-doc sorted
+    cut list (one doc_id-keyed shuffle, reused by the join back) ->
+    coverage test as an array HOF (position p is cut iff some start s in
+    [p-span_words+1, p] is flagged). The HOF is O(words x cuts) per doc;
+    cuts <= words - span_words + 1, and real-corpus cut lists are short
+    — pathological all-boilerplate docs cost one row's worth of local
+    CPU, never a shuffle."""
+    dups = duplicate_span_starts(docs, id_col, text_col, span_words)
+    cuts = dups.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("start")).alias("cut_starts"))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(norm_text(F.col(text_col)), " ").alias("w"))
+    joined = base.join(cuts, "doc_id", "left").select(
+        "doc_id", "w",
+        F.coalesce("cut_starts", F.array().cast("array<int>")).alias("cs"))
+    idx = F.sequence(F.lit(0), F.size("w") - 1)
+    kept = F.filter(idx, lambda p: ~F.exists(
+        F.col("cs"), lambda s: (s <= p) & (p < s + F.lit(span_words))))
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda p: F.element_at("w", p + 1)),
+                     " ").alias("text_dedup"),
+        F.size("w").alias("n_words"),
+        (F.size("w") - F.size(kept)).alias("n_words_removed"))
+
+
 def word_shingles(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc — all JVM: split + transform

@@ -406,3 +406,50 @@ def test_incremental_dedup_closes_the_loop(spark):
                                       threshold=0.5).collect()
     assert len(out) == 1
     assert out[0]["dup_of"] == 11 and out[0]["source"] == "index"
+
+
+def test_span_dedup_cuts_pasted_ranges_only(spark):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr): a duplicated
+    passage keeps its corpus-first occurrence and is cut everywhere
+    else — including second copies inside the SAME doc — while unique
+    text around the paste survives; exact whole-doc dups empty out."""
+    from tecs_hardware_kbc_spark.operators.dedup import span_dedup
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "unique head zero " + passage + " unique tail zero"),
+        (1, "different opening words one " + passage + " and an end one"),
+        (2, passage + " middle junk words here " + passage),
+        (3, "short doc"),
+        (4, "totally unrelated text about catalyst optimizer shuffles "
+            "and broadcast joins measured here today"),
+        (5, "unique head zero " + passage + " unique tail zero"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_words=8).collect()}
+
+    assert out[0]["text_dedup"] == rows[0][1]          # first occurrence
+    assert out[0]["n_words_removed"] == 0
+    assert out[1]["text_dedup"] == "different opening words one and an end one"
+    assert out[1]["n_words_removed"] == 10
+    assert out[2]["text_dedup"] == "middle junk words here"
+    assert out[2]["n_words_removed"] == 20              # both copies cut
+    assert out[3]["n_words_removed"] == 0               # < span_words
+    assert out[4]["n_words_removed"] == 0               # unique
+    assert out[5]["text_dedup"] == "" and out[5]["n_words_removed"] == 16
+
+
+def test_span_dedup_overlapping_windows_merge(spark):
+    """An 9-word repeat under span_words=8 flags two overlapping windows
+    in the copy; their coverage unions to exactly the 9 repeated words
+    (the paper's merge-overlapping-ranges step, via position coverage)."""
+    from tecs_hardware_kbc_spark.operators.dedup import span_dedup
+
+    rep = "one two three four five six seven eight nine"        # 9 words
+    docs = spark.createDataFrame(
+        [(0, rep + " unique closing trio"), (1, "fresh lead in " + rep)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_words=8).collect()}
+    assert out[0]["n_words_removed"] == 0
+    assert out[1]["text_dedup"] == "fresh lead in"
+    assert out[1]["n_words_removed"] == 9
