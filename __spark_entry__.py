@@ -2396,6 +2396,69 @@ def sim_ivf_topk(spark, sf):
                       F.col("rank").alias("rnk"))
 
 
+def _kmeans_sql(k: int = 6, iters: int = 2, dim: int = 64,
+                scale: int = 1_000_000, shift: float = 4.0) -> str:
+    """DuckDB replay of clustering.kmeans_fixed_point's ENTIRE training
+    run — init from the k smallest vec_ids, every assign/update
+    iteration, final assignment — as one chained query. All integer
+    arithmetic on the fixed-point grid, so the replay is bit-exact:
+    assignment = row_number over (dist, cell), update = per-dim sum //
+    count (non-negative, so // agrees between Python and DuckDB)."""
+    gs = f"generate_series(1, {dim})"
+    parts = [f"""
+e AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor((x::DOUBLE
+                                             + CAST({shift!r} AS DOUBLE))
+                                            * {scale}) AS BIGINT)) AS xf
+      FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, xf AS c
+       FROM (SELECT vec_id, xf FROM e ORDER BY vec_id LIMIT {k}))"""]
+    for t in range(iters):
+        parts.append(f"""
+d{t} AS (SELECT e.vec_id, c{t}.cell,
+              list_sum(list_transform({gs},
+                       i -> (e.xf[i] - c{t}.c[i]) * (e.xf[i] - c{t}.c[i])))
+                AS d
+       FROM e CROSS JOIN c{t}),
+a{t} AS (SELECT vec_id, cell FROM
+        (SELECT vec_id, cell,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+                  AS rn
+         FROM d{t}) WHERE rn = 1),
+u{t} AS (SELECT a{t}.cell, i, sum(e.xf[i]) AS s, count(*) AS n
+       FROM a{t} JOIN e USING (vec_id), unnest({gs}) AS t{t}(i)
+       GROUP BY a{t}.cell, i),
+c{t + 1} AS (SELECT cell, list(s // n ORDER BY i) AS c
+             FROM u{t} GROUP BY cell)""")
+    parts.append(f"""
+df AS (SELECT e.vec_id, c{iters}.cell,
+              list_sum(list_transform({gs},
+                       i -> (e.xf[i] - c{iters}.c[i])
+                            * (e.xf[i] - c{iters}.c[i]))) AS d
+       FROM e CROSS JOIN c{iters})""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT vec_id, cell, d AS dist FROM
+ (SELECT vec_id, cell, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM df) WHERE rn = 1
+""")
+
+
+@_q("emb_kmeans", _kmeans_sql())
+def emb_kmeans(spark, sf):
+    """Distributed Lloyd's k-means, training run oracle-checked end to
+    end (clustering.kmeans_fixed_point): exact integer arithmetic on a
+    fixed-point grid makes init, both assign/update iterations and the
+    final assignment replayable bit-for-bit in DuckDB — not just a
+    frozen artifact like the IVF quantizer, the TRAINER itself."""
+    from tecs_hardware_kbc_spark.operators.clustering import (
+        kmeans_fixed_point)
+    emb = _t(spark, sf, "embeddings")
+    _, final = kmeans_fixed_point(emb, k=6, iters=2)
+    return final
+
+
 def _semantic_dedup_sql(threshold: float = 0.4) -> str:
     """DuckDB replay of dedup.semantic_dedup (SemDeDup): frozen-quantizer
     cell assignment, within-cell cosine pairs, recursive-CTE transitive
