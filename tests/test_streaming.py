@@ -278,3 +278,64 @@ def test_streaming_dedup_carries_index_across_drains(spark,
     # index holds exactly the survivors, one row per (doc, band)
     assert ({r["doc_id"] for r in spark.read.parquet(idx).collect()}
             == {1, 23})
+
+
+def test_kbc_stream_incremental_extraction(spark, tmp_path_factory):
+    """Streaming KBC drain loop: extract-once per url (recrawls of
+    already-extracted urls are skipped), triples append partitioned by
+    pred, per-batch metrics rows land, and the distinct triple set over
+    all drains equals the batch pipeline's over the same pages."""
+    from tecs_hardware_kbc_spark.corpus import (corpus_to_dataframes,
+                                                generate_corpus)
+    from tecs_hardware_kbc_spark.pipeline import run_kbc
+    from tecs_hardware_kbc_spark.streaming.kbc import (
+        kbc_stream_available_now)
+
+    base = tmp_path_factory.mktemp("kbcstream")
+    landing = str(base / "landing")
+    triples_dir = str(base / "triples")
+    seen_dir = str(base / "seen")
+    ckpt = str(base / "ckpt")
+    metrics_dir = str(base / "metrics")
+    rels = ["stg_temp_min", "polarity"]
+
+    pages, _, gaz = corpus_to_dataframes(spark, generate_corpus(16, seed=7))
+    pages = pages.cache()
+    urls = sorted({r["url"] for r in pages.select("url").collect()})
+    n1 = len(urls) - 4
+    p1 = pages.filter(F.col("url").isin(urls[:n1]))
+    p2 = pages.filter(F.col("url").isin(urls[n1:]))
+
+    p1.write.mode("append").parquet(landing)
+    kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
+                             ckpt, metrics_dir, relations=rels)
+    t1 = spark.read.parquet(triples_dir).count()
+    assert t1 > 0
+    assert spark.read.parquet(seen_dir).count() == n1
+
+    # batch 2: 4 new pages + 3 recrawls of already-extracted urls
+    recrawl = (pages.filter(F.col("url").isin(urls[:3]))
+               .withColumn("warc_ts",
+                           F.col("warc_ts") + F.expr("interval 1 day")))
+    p2.unionByName(recrawl).write.mode("append").parquet(landing)
+    kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
+                             ckpt, metrics_dir, relations=rels)
+    assert spark.read.parquet(seen_dir).count() == len(urls)  # recrawls skipped
+    t2 = spark.read.parquet(triples_dir).count()
+    assert t2 > t1
+    m = {r["batch_id"]: r for r in spark.read.parquet(metrics_dir).collect()}
+    assert m[max(m)]["n_new_urls"] == 4
+
+    # third drain with nothing new is a no-op
+    kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
+                             ckpt, metrics_dir, relations=rels)
+    assert spark.read.parquet(triples_dir).count() == t2
+    assert spark.read.parquet(seen_dir).count() == len(urls)
+
+    # incremental extraction converges to the batch pipeline's triples
+    streamed = spark.read.parquet(triples_dir) \
+        .select("subj", "pred", "obj").distinct()
+    batch = run_kbc(spark, pages, gaz, gold=None, relations=rels).triples \
+        .select("subj", "pred", "obj").distinct()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
