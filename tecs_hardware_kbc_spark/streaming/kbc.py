@@ -10,18 +10,19 @@ micro-batch job that only ever pays for NEW urls:
     micro-batch -> latest crawl per url within the batch
                 -> anti-join the persisted seen-url table
                 -> run_kbc (fixed-threshold, no gold) on the new pages
-                -> append triples (partitioned by pred) + seen urls
-                -> append a per-batch metrics row (lineage)
+                -> snapshot-commit triples (partitioned by pred)
+                   + seen urls + a per-batch metrics/lineage row
 
-Like streaming/dedup.py, the ONLY state is table-backed (the seen-url
-table — the Iceberg-append analog); stream-engine state stays empty, so
-no watermark/TTL questions arise and a restart resumes from the
-checkpoint plus the tables alone. Idempotency caveat is shared with
-``ingest_available_now``: a micro-batch replayed after a crash between
-the two appends can duplicate triples of that batch; on a real cluster
-both appends are ONE Iceberg transaction, and here the downstream read
-can always `dropDuplicates(subj, pred, obj)` — extraction is
-deterministic per url, so replays converge to the same triple set.
+All three sinks are snapshot tables (plans/snapshots.py — the Iceberg
+commit-protocol analog), and every commit carries the micro-batch id as
+its idempotency key, so the loop is EXACTLY-ONCE end to end: a batch
+replayed after a crash between the appends re-commits only whichever
+table misses its key and skips the rest — no duplicate triples, ever.
+Stream-engine state stays empty (the seen table IS the state), so no
+watermark/TTL questions arise and a restart resumes from the stream
+checkpoint plus the tables alone. On a real cluster the three tables
+are Iceberg tables and the commits are catalog transactions; no call
+site changes.
 
 A recrawl of an already-extracted url is SKIPPED (extract-once
 semantics): triple extraction depends only on page content, and the
@@ -29,15 +30,16 @@ reference corpus's datasheets are immutable once crawled. Content-
 changing recrawl handling belongs to ``streaming/stateful.py``'s CDC
 operator — compose it upstream to re-admit urls whose content hash
 moved, which then requires retracting that url's prior triples (an
-Iceberg MERGE on a real cluster; out of scope for the parquet analog).
+Iceberg MERGE / the snapshot table's ``overwrite``; out of scope for
+this append-only loop).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.plans.snapshots import SnapshotTable
 
 
 def kbc_stream_available_now(spark: SparkSession, input_dir: str,
@@ -48,9 +50,12 @@ def kbc_stream_available_now(spark: SparkSession, input_dir: str,
                              relations: list[str] | None = None,
                              default_threshold: float = 0.5) -> None:
     """Drain every page file currently landed, extracting triples from
-    urls never extracted before; append triples partitioned by ``pred``
-    (the north_star's predicate-partitioned triple tables), the new
-    urls to the seen table, and one metrics row per micro-batch."""
+    urls never extracted before; snapshot-commit triples partitioned by
+    ``pred`` (the north_star's predicate-partitioned triple tables),
+    the new urls to the seen table, and one metrics row per micro-batch
+    — each commit idempotent on the batch id. Read results back via
+    ``SnapshotTable(spark, triples_dir, partition_col="pred").read()``.
+    """
     from tecs_hardware_kbc_spark.pipeline import run_kbc
 
     if schema is None:
@@ -60,15 +65,20 @@ def kbc_stream_available_now(spark: SparkSession, input_dir: str,
               .option("maxFilesPerTrigger", 64)
               .parquet(input_dir))
 
+    triples_t = SnapshotTable(spark, triples_dir, partition_col="pred")
+    seen_t = SnapshotTable(spark, seen_dir)
+    metrics_t = (SnapshotTable(spark, metrics_dir)
+                 if metrics_dir is not None else None)
+
     def _sink(batch: DataFrame, batch_id: int) -> None:
+        key = f"batch-{batch_id}"
         # latest crawl per url within the batch (ties: keep one, by ts
         # then url order — deterministic), then extract-once anti-join
         w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
         latest = (batch.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1).drop("_rn"))
-        if os.path.exists(os.path.join(seen_dir, "_SUCCESS")):
-            seen = spark.read.parquet(seen_dir)
-            new_pages = latest.join(seen, "url", "left_anti")
+        if seen_t.current_version() > 0:
+            new_pages = latest.join(seen_t.read(), "url", "left_anti")
         else:
             new_pages = latest
         new_pages = new_pages.localCheckpoint()
@@ -80,16 +90,16 @@ def kbc_stream_available_now(spark: SparkSession, input_dir: str,
                           default_threshold=default_threshold)
             triples = res.triples.localCheckpoint()
             n_triples = triples.count()
-            triples.write.mode("append").partitionBy("pred") \
-                .parquet(triples_dir)
-            new_pages.select("url").write.mode("append").parquet(seen_dir)
-        if metrics_dir is not None:
-            spark.createDataFrame(
+            triples_t.append(triples, idempotency_key=key,
+                             summary={"n_pages": n_new})
+            seen_t.append(new_pages.select("url"), idempotency_key=key)
+        if metrics_t is not None:
+            metrics_t.append(spark.createDataFrame(
                 [(int(batch_id), int(batch.count()), int(n_new),
                   int(n_triples))],
                 "batch_id long, n_rows long, n_new_urls long, "
                 "n_triples long",
-            ).coalesce(1).write.mode("append").parquet(metrics_dir)
+            ).coalesce(1), idempotency_key=key)
 
     (
         stream.writeStream

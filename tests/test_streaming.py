@@ -282,12 +282,14 @@ def test_streaming_dedup_carries_index_across_drains(spark,
 
 def test_kbc_stream_incremental_extraction(spark, tmp_path_factory):
     """Streaming KBC drain loop: extract-once per url (recrawls of
-    already-extracted urls are skipped), triples append partitioned by
-    pred, per-batch metrics rows land, and the distinct triple set over
+    already-extracted urls are skipped), triples snapshot-committed
+    partitioned by pred, per-batch metrics rows land, replayed batch
+    ids are no-ops (exactly-once), and the distinct triple set over
     all drains equals the batch pipeline's over the same pages."""
     from tecs_hardware_kbc_spark.corpus import (corpus_to_dataframes,
                                                 generate_corpus)
     from tecs_hardware_kbc_spark.pipeline import run_kbc
+    from tecs_hardware_kbc_spark.plans.snapshots import SnapshotTable
     from tecs_hardware_kbc_spark.streaming.kbc import (
         kbc_stream_available_now)
 
@@ -309,9 +311,12 @@ def test_kbc_stream_incremental_extraction(spark, tmp_path_factory):
     p1.write.mode("append").parquet(landing)
     kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
                              ckpt, metrics_dir, relations=rels)
-    t1 = spark.read.parquet(triples_dir).count()
+    triples_t = SnapshotTable(spark, triples_dir, partition_col="pred")
+    seen_t = SnapshotTable(spark, seen_dir)
+    metrics_t = SnapshotTable(spark, metrics_dir)
+    t1 = triples_t.read().count()
     assert t1 > 0
-    assert spark.read.parquet(seen_dir).count() == n1
+    assert seen_t.read().count() == n1
 
     # batch 2: 4 new pages + 3 recrawls of already-extracted urls
     recrawl = (pages.filter(F.col("url").isin(urls[:3]))
@@ -320,21 +325,28 @@ def test_kbc_stream_incremental_extraction(spark, tmp_path_factory):
     p2.unionByName(recrawl).write.mode("append").parquet(landing)
     kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
                              ckpt, metrics_dir, relations=rels)
-    assert spark.read.parquet(seen_dir).count() == len(urls)  # recrawls skipped
-    t2 = spark.read.parquet(triples_dir).count()
+    assert seen_t.read().count() == len(urls)       # recrawls skipped
+    t2 = triples_t.read().count()
     assert t2 > t1
-    m = {r["batch_id"]: r for r in spark.read.parquet(metrics_dir).collect()}
+    m = {r["batch_id"]: r for r in metrics_t.read().collect()}
     assert m[max(m)]["n_new_urls"] == 4
+
+    # a replayed micro-batch id is a no-op on every table (exactly-once)
+    v_before = (triples_t.current_version(), seen_t.current_version())
+    assert triples_t.append(p1.limit(0).selectExpr(
+        "url as subj", "'x' as pred", "url as obj", "0.5 as prob"),
+        idempotency_key=f"batch-{max(m)}") is None
+    assert (triples_t.current_version(),
+            seen_t.current_version()) == v_before
 
     # third drain with nothing new is a no-op
     kbc_stream_available_now(spark, landing, gaz, triples_dir, seen_dir,
                              ckpt, metrics_dir, relations=rels)
-    assert spark.read.parquet(triples_dir).count() == t2
-    assert spark.read.parquet(seen_dir).count() == len(urls)
+    assert triples_t.read().count() == t2
+    assert seen_t.read().count() == len(urls)
 
     # incremental extraction converges to the batch pipeline's triples
-    streamed = spark.read.parquet(triples_dir) \
-        .select("subj", "pred", "obj").distinct()
+    streamed = triples_t.read().select("subj", "pred", "obj").distinct()
     batch = run_kbc(spark, pages, gaz, gold=None, relations=rels).triples \
         .select("subj", "pred", "obj").distinct()
     assert streamed.exceptAll(batch).count() == 0
