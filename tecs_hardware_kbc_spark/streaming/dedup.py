@@ -14,17 +14,14 @@ The index is the ONLY state, and it lives in the table, not in stream
 state: (doc_id, sig, band, bucket) rows, one per (kept doc, band).
 Stream-engine state stays empty, so the watermark/TTL questions that
 constrain ``streaming/stateful.py`` do not arise — a restart resumes
-from the checkpoint and the index table alone. On a real cluster both
-sinks are Iceberg appends (atomic snapshot commits); here they are the
-parquet-append analog, with the same idempotency caveat as
-``ingest_available_now``: a replayed micro-batch re-appends, and the
-downstream batch read re-dedups exactly (first-id-wins is deterministic,
-so replays converge).
+from the checkpoint and the index table alone. Both sinks are snapshot
+tables (plans/snapshots.py, the Iceberg commit-protocol analog) with
+the micro-batch id as idempotency key, so replayed micro-batches are
+exactly-once; on a real cluster they become Iceberg appends with no
+call-site change.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
@@ -48,14 +45,23 @@ def dedup_stream_available_now(spark: SparkSession, input_dir: str,
     Each micro-batch reads the index FRESH (it grew by the previous
     batch's survivors) — the self-reinforcing loop pinned by
     ``tests/test_dedup.py::test_incremental_dedup_closes_the_loop``,
-    run here under the streaming engine across restarts."""
+    run here under the streaming engine across restarts. Both sinks are
+    snapshot tables committed with the batch id as idempotency key
+    (plans/snapshots.py), so a replayed micro-batch re-commits only the
+    table that missed its commit: exactly-once, like streaming/kbc.py.
+    Read results back via ``SnapshotTable(spark, out_dir).read()``."""
+    from tecs_hardware_kbc_spark.plans.snapshots import SnapshotTable
+
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 64)
               .parquet(input_dir))
+    out_t = SnapshotTable(spark, out_dir)
+    index_t = SnapshotTable(spark, index_dir)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        if os.path.exists(os.path.join(index_dir, "_SUCCESS")):
-            index = spark.read.parquet(index_dir)
+        key = f"batch-{batch_id}"
+        if index_t.current_version() > 0:
+            index = index_t.read()
         else:
             index = minhash_index(
                 batch.filter(F.lit(False)), id_col, text_col)
@@ -63,10 +69,10 @@ def dedup_stream_available_now(spark: SparkSession, input_dir: str,
             batch, index, id_col, text_col, threshold=threshold)
         survivors = batch.join(
             dups.select(F.col("doc_id").alias(id_col)).dropDuplicates(),
-            id_col, "left_anti")
-        survivors.write.mode("append").parquet(out_dir)
-        minhash_index(survivors, id_col, text_col).write \
-            .mode("append").parquet(index_dir)
+            id_col, "left_anti").localCheckpoint()
+        out_t.append(survivors, idempotency_key=key)
+        index_t.append(minhash_index(survivors, id_col, text_col),
+                       idempotency_key=key)
 
     (
         stream.writeStream

@@ -261,7 +261,9 @@ def test_streaming_dedup_carries_index_across_drains(spark,
     ).write.mode("append").parquet(landing)
     dedup_stream_available_now(spark, landing, out, idx, ckpt, schema,
                                threshold=0.5)
-    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    from tecs_hardware_kbc_spark.plans.snapshots import SnapshotTable
+    out_t, idx_t = SnapshotTable(spark, out), SnapshotTable(spark, idx)
+    assert {r["doc_id"] for r in out_t.read().collect()} == {1}
 
     # 21 = doc 1 plus one trailing word: est_jaccard 0.94, shares 3 of 4
     # band buckets with the index row (banding verified — an est ~0.56
@@ -273,11 +275,9 @@ def test_streaming_dedup_carries_index_across_drains(spark,
     ).write.mode("append").parquet(landing)
     dedup_stream_available_now(spark, landing, out, idx, ckpt, schema,
                                threshold=0.5)
-    assert ({r["doc_id"] for r in spark.read.parquet(out).collect()}
-            == {1, 23})
+    assert {r["doc_id"] for r in out_t.read().collect()} == {1, 23}
     # index holds exactly the survivors, one row per (doc, band)
-    assert ({r["doc_id"] for r in spark.read.parquet(idx).collect()}
-            == {1, 23})
+    assert {r["doc_id"] for r in idx_t.read().collect()} == {1, 23}
 
 
 def test_kbc_stream_incremental_extraction(spark, tmp_path_factory):
