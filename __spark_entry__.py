@@ -1222,6 +1222,104 @@ def doc_para_dedup(spark, sf):
                       "n_paras_kept")
 
 
+def _gf_kind_sql(kind: str, v: str) -> str:
+    """DuckDB twin of gold_format.normalize_value, per kind."""
+    first = lambda x: f"string_split(trim({x}), ' ')[1]"  # noqa: E731
+    kexp = lambda x: f"regexp_replace({x}, '[Kk]', '000', 'g')"  # noqa: E731
+    if kind == "temperature":
+        return f"trim(regexp_replace(trim({v}), '\\s+\\S+$', ''))"
+    if kind == "voltage":
+        return f"replace({first(kexp(f'trim({v})'))}, '-', '')"
+    if kind == "current":
+        return f"replace({first(v)}, '-', '')"
+    if kind == "gain":
+        pre = f"replace(string_split({v}, '@')[1], ',', '')"
+        return f"replace({first(kexp(pre))}, '-', '')"
+    if kind == "polarity":
+        return (f"CASE WHEN trim({v}) IN ('NPN', 'PNP') "
+                f"THEN trim({v}) END")
+    return f"trim({v})"
+
+
+def _gold_format_sql() -> str:
+    """DuckDB replay of sources/gold_format.format_gold over a wide raw
+    annotation table synthesized from documents: melt (UNION ALL), the
+    N/A-cell substring skip, the ';' multi-value split, every per-kind
+    normalizer, and the tuple-distinct."""
+    from tecs_hardware_kbc_spark.sources.gold_format import (
+        TRANSISTOR_ATTRS)
+    cells = {
+        "part_family": "CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE 'Y' END",
+        "polarity": ("CASE doc_id % 3 WHEN 0 THEN 'NPN' "
+                     "WHEN 1 THEN 'PNP' ELSE 'npn' END"),
+        "ce_v_max": ("CASE doc_id % 4 WHEN 0 THEN '45 V' "
+                     "WHEN 1 THEN '-30 V;65 V' WHEN 2 THEN 'N/A' "
+                     "ELSE '1K V' END"),
+        "cb_v_max": "'50 V'",
+        "eb_v_max": "'6 V'",
+        "c_current_max": "(100 + doc_id % 9)::varchar || ' mA'",
+        "dev_dissipation": "'625 mW'",
+        "stg_temp_min": "'-55 C'",
+        "stg_temp_max": "'150 C'",
+        "dc_gain_min": "(100 + doc_id % 7)::varchar || ' @ 2V'",
+    }
+    arms = " UNION ALL ".join(
+        f"SELECT filename, manuf, part, '{name}' AS attribute, "
+        f"{name} AS raw FROM raw" for name in cells)
+    val = "CASE attribute " + " ".join(
+        f"WHEN '{name}' THEN {_gf_kind_sql(kind, 'one')}"
+        for name, kind in TRANSISTOR_ATTRS.items()) + " END"
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in cells.items())
+    return f"""
+WITH raw AS (SELECT 'ds_' || doc_id::varchar AS filename,
+                    'Fairchild' AS manuf,
+                    'BC' || (doc_id % 50)::varchar AS part,
+                    {cols}
+             FROM documents),
+m AS ({arms}),
+s AS (SELECT filename, manuf, part, attribute, one
+      FROM m, unnest(string_split(raw, ';')) AS u(one)
+      WHERE raw IS NOT NULL AND strpos(raw, 'N/A') = 0
+        AND trim(one) <> '')
+SELECT DISTINCT filename, manuf, part, attribute, {val} AS value
+FROM s WHERE ({val}) IS NOT NULL
+"""
+
+
+@_q("kbc_gold_format", _gold_format_sql())
+def kbc_gold_format(spark, sf):
+    """Raw vendor-gold formatting (sources/gold_format.format_gold —
+    the reference's format_gold.py/normalizers.py as one columnar
+    projection): a wide annotation table synthesized from documents
+    (multi-valued cells, N/A cells, signed voltages, unit suffixes,
+    '@ condition' gains, bad polarities) melted + normalized into the
+    long gold schema, hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.sources.gold_format import format_gold
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    raw = d.select(
+        F.concat(F.lit("ds_"), did.cast("string"), F.lit(".pdf"))
+        .alias("doc_name"),
+        F.when(did % 5 == 0, "N/A").otherwise("Y").alias("part_family"),
+        F.concat(F.lit("bc "), (did % 50).cast("string")).alias("part_num"),
+        F.lit(" Fairchild ").alias("manufacturer"),
+        F.when(did % 3 == 0, "NPN").when(did % 3 == 1, "PNP")
+        .otherwise("npn").alias("polarity"),
+        F.when(did % 4 == 0, "45 V").when(did % 4 == 1, "-30 V;65 V")
+        .when(did % 4 == 2, "N/A").otherwise("1K V").alias("ce_v_max"),
+        F.lit("50 V").alias("cb_v_max"),
+        F.lit("6 V").alias("eb_v_max"),
+        F.concat((F.lit(100) + did % 9).cast("string"), F.lit(" mA"))
+        .alias("c_current_max"),
+        F.lit("625 mW").alias("dev_dissipation"),
+        F.lit("-55 C").alias("stg_temp_min"),
+        F.lit("150 C").alias("stg_temp_max"),
+        F.concat((F.lit(100) + did % 7).cast("string"), F.lit(" @ 2V"))
+        .alias("dc_gain_min"),
+    )
+    return format_gold(raw, component="transistor")
+
+
 def _span_dedup_sql(L: int = 8) -> str:
     """DuckDB replay of dedup.span_dedup (exact substring dedup, Lee et
     al. 2022) over planted shared passages: rolling md5 L-gram window,

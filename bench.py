@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "kbc_asof_pair",
     "media_augment_policy",
     "media_conv",
+    # r5 lap 2: the two new scale ops
+    "doc_span_dedup",   # exact substring dedup: rolling-window + fp window
+    "emb_kmeans",       # fixed-point Lloyd's: 2 iterations + final assign
 ]
 # doc_curate (the composed funnel) is deliberately NOT a headline query:
 # its cost is the sum of components already benched above (minhash bands,
