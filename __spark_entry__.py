@@ -1639,6 +1639,185 @@ def doc_domain_cap(spark, sf):
     return domain_cap(planted, max_per_domain=5)
 
 
+def _canon_expr(u: str) -> str:
+    """DuckDB expression: urls.canonicalize_url of the URL expression
+    ``u`` (same rule set _url_canon_sql replays, as one inline
+    expression so it can be applied to both edge endpoints)."""
+    rgx = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$"
+    track = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+    scheme = f"lower(regexp_extract({u}, '{rgx}', 1))"
+    host = (f"regexp_extract(regexp_extract(lower(regexp_extract({u}, "
+            f"'{rgx}', 2)), '^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1)")
+    port = f"regexp_extract(regexp_extract({u}, '{rgx}', 2), ':([0-9]+)$', 1)"
+    path = f"regexp_extract({u}, '{rgx}', 3)"
+    query = f"regexp_extract({u}, '{rgx}', 4)"
+    port_part = (f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND "
+                 f"{port} = '80') OR ({scheme} = 'https' AND "
+                 f"{port} = '443') THEN '' ELSE ':' || {port} END")
+    kept = (f"list_sort(list_filter(CASE WHEN {query} = '' THEN [] "
+            f"ELSE string_split({query}, '&') END, "
+            f"x -> NOT regexp_matches(lower(x), '{track}')))")
+    return (f"({scheme} || '://' || {host} || {port_part} || "
+            f"CASE WHEN {path} = '' THEN '/' ELSE {path} END || "
+            f"CASE WHEN len({kept}) > 0 THEN '?' || "
+            f"array_to_string({kept}, '&') ELSE '' END)")
+
+
+_WEB_DOMAINS = ["www.alpha.com", "beta.co.uk", "Gamma-cdn.com",
+                "delta.org", "epsilon.net"]
+_WEB_HUB = "https://www.alpha.com/d/0/index.html?v=0&utm_medium=m"
+
+
+def _web_graph_cte() -> str:
+    """Shared DuckDB CTE chain replaying graph.extract_links over the
+    synthetic crawl: pages built from doc_id (messy case/port/tracking
+    URLs; hub + root-relative + protocol-relative + fragment/mailto
+    anchors) -> href regex harvest -> resolution CASE ladder ->
+    canonicalization of BOTH endpoints -> self-loop drop -> distinct."""
+    doms = ", ".join(f"'{d}'" for d in _WEB_DOMAINS)
+    srgx = "^([a-zA-Z][a-zA-Z0-9_+.-]*)://"
+    canon_u = _canon_expr("url")
+    canon_t = _canon_expr("target")
+    return f"""
+pages AS (SELECT doc_id,
+    'HTTPS://' || ([{doms}])[(doc_id % 5)::int + 1] || ':443/d/'
+      || doc_id::varchar || '/index.html?utm_source=crawl&v='
+      || (doc_id % 3)::varchar AS url,
+    '<a href="{_WEB_HUB}">hub</a>'
+      || CASE WHEN doc_id % 7 <> 0
+              THEN '<a href="/d/' || (doc_id + 1)::varchar
+                   || '/index.html?v=' || ((doc_id + 1) % 3)::varchar
+                   || '">next</a>'
+              ELSE '' END
+      || '<a href="//static.site.net/lib-' || (doc_id % 4)::varchar
+      || '.js">a</a>'
+      || CASE WHEN doc_id % 5 = 2
+              THEN '<a href="rel-' || (doc_id % 6)::varchar
+                   || '.html?z=2&utm_term=q">r</a>'
+              ELSE '' END
+      || '<a href="#top">t</a><a href="mailto:x@y.z">m</a>' AS html
+  FROM documents),
+raw_anchors AS (SELECT url,
+    unnest(regexp_extract_all(html,
+        $hre$<a\\s[^>]*href\\s*=\\s*["']([^"']+)["']$hre$, 1)) AS h0
+  FROM pages),
+anchors AS (SELECT url, trim(h0) AS h FROM raw_anchors),
+res AS (SELECT url,
+    CASE WHEN regexp_matches(h, '^#') OR h = '' THEN NULL
+         WHEN regexp_matches(h, '{srgx}') THEN
+              CASE WHEN lower(regexp_extract(h, '{srgx}', 1))
+                        IN ('http', 'https') THEN h END
+         WHEN regexp_matches(h, '^//') THEN
+              lower(regexp_extract(url, '{srgx}', 1)) || ':' || h
+         WHEN regexp_matches(h, '^/') THEN
+              lower(regexp_extract(url, '{srgx}', 1)) || '://'
+              || {_canon_host('url')} || h
+         WHEN regexp_matches(h, '^(mailto|javascript|tel|data):')
+              THEN NULL
+         ELSE lower(regexp_extract(url, '{srgx}', 1)) || '://'
+              || {_canon_host('url')}
+              || regexp_replace(
+                   CASE WHEN regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^?#]*)',
+                        1) = '' THEN '/'
+                        ELSE regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^?#]*)', 1)
+                   END, '[^/]*$', '') || h
+    END AS target
+  FROM anchors),
+edges AS (SELECT DISTINCT {canon_u} AS src, {canon_t} AS dst
+          FROM res WHERE target IS NOT NULL AND {canon_u} <> {canon_t})
+"""
+
+
+def _canon_host(u: str) -> str:
+    """DuckDB expression: urls.url_host of the URL expression ``u``."""
+    rgx = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)\??([^#]*)#?.*$"
+    return (f"regexp_extract(regexp_extract(lower(regexp_extract({u}, "
+            f"'{rgx}', 2)), '^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1)")
+
+
+def _web_pages(spark, sf):
+    """Spark twin of the pages CTE in _web_graph_cte."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    domains = F.array(*[F.lit(x) for x in _WEB_DOMAINS])
+    url = F.concat(
+        F.lit("HTTPS://"), F.element_at(domains, (did % 5).cast("int") + 1),
+        F.lit(":443/d/"), did.cast("string"),
+        F.lit("/index.html?utm_source=crawl&v="), (did % 3).cast("string"))
+    hub = F.lit(f'<a href="{_WEB_HUB}">hub</a>')
+    nxt = F.when(did % 7 != 0, F.concat(
+        F.lit('<a href="/d/'), (did + 1).cast("string"),
+        F.lit('/index.html?v='), ((did + 1) % 3).cast("string"),
+        F.lit('">next</a>'))).otherwise(F.lit(""))
+    asset = F.concat(F.lit('<a href="//static.site.net/lib-'),
+                     (did % 4).cast("string"), F.lit('.js">a</a>'))
+    rel = F.when(did % 5 == 2, F.concat(
+        F.lit('<a href="rel-'), (did % 6).cast("string"),
+        F.lit('.html?z=2&utm_term=q">r</a>'))).otherwise(F.lit(""))
+    junk = F.lit('<a href="#top">t</a><a href="mailto:x@y.z">m</a>')
+    return d.select(url.alias("url"),
+                    F.concat(hub, nxt, asset, rel, junk).alias("html"))
+
+
+@_q("web_links", f"WITH {_web_graph_cte()} SELECT src, dst FROM edges")
+def web_links(spark, sf):
+    """Link-graph construction (graph.extract_links): synthetic crawl
+    pages with all four href shapes plus fragment/mailto junk; the
+    harvested, resolved, canonicalized (src, dst) edge list (self-loops
+    dropped — page 0 links itself via the hub anchor) hash-checked
+    against the DuckDB replay of the regex + resolution CASE ladder +
+    both-endpoint canonicalization."""
+    from tecs_hardware_kbc_spark.operators.graph import extract_links
+    return extract_links(_web_pages(spark, sf))
+
+
+def _pagerank_sql(iters: int = 3, scale: int = 10 ** 12,
+                  d: int = 85) -> str:
+    """DuckDB replay of graph.pagerank_fixed_point over the web_links
+    edges: the power iteration unrolled as chained CTEs, one dangling
+    scalar subquery per round, every step exact integer arithmetic."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0) AS dang FROM r{i}
+         WHERE node NOT IN (SELECT src FROM deg)),
+i{i} AS (SELECT l.dst AS node, sum(r.rank // g.d) AS inflow
+         FROM edges l JOIN r{i} r ON l.src = r.node
+         JOIN deg g ON l.src = g.src
+         GROUP BY l.dst),
+r{i + 1} AS (SELECT n.node,
+        ({100 - d} * (SELECT base FROM c) + {d} * (coalesce(i.inflow, 0)
+         + (SELECT dang FROM d{i}) // (SELECT n FROM c))) // 100 AS rank
+    FROM nodes n LEFT JOIN i{i} i USING (node))""")
+    return f"""
+WITH {_web_graph_cte()},
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+c AS (SELECT count(*) AS n, {scale} // count(*) AS base FROM nodes),
+r0 AS (SELECT node, (SELECT base FROM c) AS rank FROM nodes),
+{",".join(steps)}
+SELECT node, rank::bigint AS rank FROM r{iters}
+"""
+
+
+@_q("web_pagerank", _pagerank_sql())
+def web_pagerank(spark, sf):
+    """Deterministic PageRank (graph.pagerank_fixed_point) over the
+    web_links crawl graph: 3 power iterations on the integer grid —
+    hub-skewed in-links, dangling asset/frontier nodes, damping — with
+    the ENTIRE training run (init, every dangling scalar, every inflow
+    aggregation, the damping update) replayed as unrolled DuckDB CTEs.
+    Exactness argument as in emb_kmeans: non-negative longs, integral
+    division, associative sums."""
+    from tecs_hardware_kbc_spark.operators.graph import (
+        extract_links, pagerank_fixed_point)
+    edges = extract_links(_web_pages(spark, sf))
+    return pagerank_fixed_point(edges, iters=3)
+
+
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
     u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
          "::ubigint / 4294967296.0)")

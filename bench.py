@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     # r5 lap 2: the two new scale ops
     "doc_span_dedup",   # exact substring dedup: rolling-window + fp window
     "emb_kmeans",       # fixed-point Lloyd's: 2 iterations + final assign
+    "web_pagerank",     # link harvest + 3 integer power iterations
 ]
 # doc_curate (the composed funnel) is deliberately NOT a headline query:
 # its cost is the sum of components already benched above (minhash bands,

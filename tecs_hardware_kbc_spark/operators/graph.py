@@ -1,0 +1,183 @@
+"""Web link-graph construction + deterministic PageRank.
+
+A web-scale KBC loop ranks its crawl: link structure decides which
+pages are worth re-crawling, which domains seed the frontier, and which
+extracted triples inherit authority from their source page. The
+reference operates on a pre-ranked crawl slice; this module builds the
+two operators that produce such a slice from raw pages:
+
+* ``extract_links`` — harvest ``<a href>`` anchors out of an HTML
+  column and resolve them into a canonical ``(src, dst)`` edge list,
+  entirely as column expressions (Java-regex/RE2-common syntax, so the
+  ``web_links`` driver entry replays every rule in DuckDB). Handles the
+  four href shapes a crawler meets: absolute, protocol-relative
+  (``//host/p``), root-relative (``/p``), and document-relative
+  (``p.html`` against the page's directory). Fragments-only and
+  non-http(s) schemes (mailto:, javascript:) are dropped; both
+  endpoints go through ``urls.canonicalize_url`` so tracking-param /
+  case / default-port variants of one page collapse to one node.
+
+* ``pagerank_fixed_point`` — the classic power iteration
+  (Brin & Page 1998) with EXACT integer arithmetic, the same
+  cross-engine-replay design as ``clustering.kmeans_fixed_point``:
+  ranks live on a fixed-point grid (``scale`` units of total mass),
+  a node's outflow share is ``rank // out_degree``, dangling mass is
+  redistributed uniformly, and the damping update is
+
+      rank'(v) = ((100-d)*(scale//N) + d*(inflow(v) + dang//N)) // 100
+
+  with ``d`` an integer percent. Every quantity is a non-negative
+  long, every sum is associative, and every division is integral —
+  so the whole training run (not just the final ranks) replays
+  bit-for-bit in any SQL engine (see the ``web_pagerank`` driver
+  entry, which unrolls all iterations as chained DuckDB CTEs).
+  Floor losses mean total mass decays by a few units per iteration;
+  that costs nothing for ranking and buys exact replay.
+
+Scale shape: ``extract_links`` is one narrow projection + one explode
+(output rows = anchors, never more) + one distinct keyed by the edge.
+PageRank per iteration = one join of edges against ranks on ``src``
+(bucket/pre-partition both by the node key and the join is co-located;
+the edge table is cached once and reused every iteration) + one
+map-combined ``groupBy(dst)`` + one O(1) driver scalar (the dangling
+sum — same O(iters) driver state as k-means' centroid stats). No
+global sorts, no driver loops over rows, no all-pairs anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from tecs_hardware_kbc_spark.operators.urls import (
+    canonicalize_url, url_host)
+
+# href attribute of an anchor tag; group 1 = the raw target. Single- or
+# double-quoted, first href per tag, stops at the closing quote.
+HREF_RGX = r'<a\s[^>]*href\s*=\s*["\']([^"\']+)["\']'
+
+DEFAULT_SCALE = 1_000_000_000_000  # total rank mass, in integer units
+DEFAULT_DAMPING_PCT = 85           # d as an integer percent
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division for non-negative longs.
+
+    (a - a % b) is exactly divisible by b, both operands are exact in
+    double below 2^53, and IEEE division is correctly rounded, so the
+    quotient is exact. Callers keep a < 2^53 (DEFAULT_SCALE * 100 =
+    1e14 < 9e15, with margin)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def resolve_href(page_url: Column, href: Column) -> Column:
+    """Absolute URL for one raw href against its page URL (NULL for
+    fragment-only or non-http(s) targets)."""
+    scheme = F.lower(F.regexp_extract(page_url, r"^([a-zA-Z][\w+.-]*)://", 1))
+    host = url_host(page_url)
+    # directory of the page path, always ending in '/'
+    path = F.regexp_extract(page_url, r"^[a-zA-Z][\w+.-]*://[^/?#]+([^?#]*)",
+                            1)
+    dir_ = F.regexp_replace(F.when(path == "", F.lit("/")).otherwise(path),
+                            r"[^/]*$", "")
+    origin = F.concat(scheme, F.lit("://"), host)
+    h = F.trim(href)
+    is_abs = h.rlike(r"^[a-zA-Z][\w+.-]*://")
+    abs_scheme = F.lower(F.regexp_extract(h, r"^([a-zA-Z][\w+.-]*)://", 1))
+    return (
+        F.when(h.rlike(r"^#") | (h == ""), F.lit(None).cast("string"))
+        .when(is_abs & ~abs_scheme.isin("http", "https"),
+              F.lit(None).cast("string"))
+        .when(is_abs, h)
+        .when(h.rlike(r"^//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.rlike(r"^/"), F.concat(origin, h))
+        .when(h.rlike(r"^(mailto|javascript|tel|data):"),
+              F.lit(None).cast("string"))
+        .otherwise(F.concat(origin, dir_, h)))
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html",
+                  drop_self_loops: bool = True) -> DataFrame:
+    """Canonical (src, dst) edge list from an HTML page table.
+
+    One projection (regexp_extract_all pulls every anchor target into
+    an array) + one explode + one distinct on the edge key. Both
+    endpoints are canonicalized, so the node space matches
+    ``urls.canonicalize_url`` keys used everywhere else in the crawl
+    loop."""
+    raw = pages.select(
+        canonicalize_url(F.col(url_col)).alias("src"),
+        F.explode(F.regexp_extract_all(F.col(html_col),
+                                       F.lit(HREF_RGX), F.lit(1)))
+        .alias("href"),
+        F.col(url_col).alias("_page"))
+    edges = raw.select(
+        "src",
+        canonicalize_url(resolve_href(F.col("_page"), F.col("href")))
+        .alias("dst")).filter(F.col("dst").isNotNull())
+    if drop_self_loops:
+        edges = edges.filter(F.col("src") != F.col("dst"))
+    return edges.distinct()
+
+
+def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
+                         damping_pct: int = DEFAULT_DAMPING_PCT,
+                         scale: int = DEFAULT_SCALE) -> DataFrame:
+    """Deterministic PageRank over a (src, dst) edge list.
+
+    Returns (node, rank) with ``rank`` an exact long on the
+    ``scale``-unit grid — identical rows from any engine replaying the
+    same chain (see module docstring for the update rule). Dangling
+    nodes (no out-links) spread their mass uniformly; duplicate edges
+    should be pre-deduped (``extract_links`` already is).
+
+    Per iteration: one src-keyed join + one dst-keyed map-combined
+    aggregation + one driver scalar. The edge and degree tables are
+    cached once; ranks are O(#nodes) and never collected."""
+    e = edges.select(F.col("src"), F.col("dst")).cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    n_nodes = nodes.count()
+    base = scale // n_nodes
+    d, rem = int(damping_pct), 100 - int(damping_pct)
+
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks.node == deg.src, "left") \
+            .select(ranks.node, "rank", "out_deg")
+        # O(1) driver scalar per iteration: total rank of dangling nodes
+        dang = with_deg.filter(F.col("out_deg").isNull()) \
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s")) \
+            .collect()[0]["s"]
+        share = with_deg.filter(F.col("out_deg").isNotNull()).select(
+            F.col("node").alias("src"),
+            _idiv(F.col("rank"), F.col("out_deg")).alias("share"))
+        inflow = (e.join(share, "src")
+                  .groupBy("dst").agg(F.sum("share").alias("inflow")))
+        dang_per = int(dang) // n_nodes
+        ranks = nodes.join(inflow, nodes.node == inflow.dst, "left") \
+            .select(
+                "node",
+                _idiv(F.lit(rem * base)
+                      + F.lit(d) * (F.coalesce(F.col("inflow"), F.lit(0))
+                                    + F.lit(dang_per)),
+                      F.lit(100)).alias("rank"))
+    return ranks
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """(node, out_deg, in_deg) for every node in the edge list — the
+    cheap first look at a crawl graph (hub/authority shape, dangling
+    count). Two map-combined aggregations + one outer join on the node
+    key."""
+    out_d = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("node")) \
+        .agg(F.count("*").alias("in_deg"))
+    return (out_d.join(in_d, "node", "full")
+            .select("node",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
