@@ -1668,63 +1668,69 @@ _WEB_DOMAINS = ["www.alpha.com", "beta.co.uk", "Gamma-cdn.com",
 _WEB_HUB = "https://www.alpha.com/d/0/index.html?v=0&utm_medium=m"
 
 
-def _web_graph_cte() -> str:
-    """Shared DuckDB CTE chain replaying graph.extract_links over the
-    synthetic crawl: pages built from doc_id (messy case/port/tracking
-    URLs; hub + root-relative + protocol-relative + fragment/mailto
-    anchors) -> href regex harvest -> resolution CASE ladder ->
-    canonicalization of BOTH endpoints -> self-loop drop -> distinct."""
+def _web_pages_cte() -> str:
+    """DuckDB twin of _web_pages: the synthetic crawl (messy
+    case/port/tracking URLs; hub + root-relative + protocol-relative +
+    doc-relative + fragment/mailto anchors, doc-dependent link text)."""
     doms = ", ".join(f"'{d}'" for d in _WEB_DOMAINS)
-    srgx = "^([a-zA-Z][a-zA-Z0-9_+.-]*)://"
-    canon_u = _canon_expr("url")
-    canon_t = _canon_expr("target")
     return f"""
 pages AS (SELECT doc_id,
     'HTTPS://' || ([{doms}])[(doc_id % 5)::int + 1] || ':443/d/'
       || doc_id::varchar || '/index.html?utm_source=crawl&v='
       || (doc_id % 3)::varchar AS url,
-    '<a href="{_WEB_HUB}">hub</a>'
+    '<a href="{_WEB_HUB}">Portal  Home</a>'
       || CASE WHEN doc_id % 7 <> 0
               THEN '<a href="/d/' || (doc_id + 1)::varchar
                    || '/index.html?v=' || ((doc_id + 1) % 3)::varchar
-                   || '">next</a>'
+                   || '">Part ' || (doc_id + 1)::varchar || '</a>'
               ELSE '' END
       || '<a href="//static.site.net/lib-' || (doc_id % 4)::varchar
-      || '.js">a</a>'
+      || '.js">lib asset</a>'
       || CASE WHEN doc_id % 5 = 2
               THEN '<a href="rel-' || (doc_id % 6)::varchar
-                   || '.html?z=2&utm_term=q">r</a>'
+                   || '.html?z=2&utm_term=q">Related note</a>'
               ELSE '' END
       || '<a href="#top">t</a><a href="mailto:x@y.z">m</a>' AS html
-  FROM documents),
+  FROM documents)"""
+
+
+def _resolve_sql(u: str, h: str) -> str:
+    """DuckDB expression: graph.resolve_href of href ``h`` against page
+    URL ``u`` (the same CASE ladder, same branch order)."""
+    srgx = "^([a-zA-Z][a-zA-Z0-9_+.-]*)://"
+    prgx = "^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^?#]*)"
+    scheme = f"lower(regexp_extract({u}, '{srgx}', 1))"
+    dir_ = (f"regexp_replace(CASE WHEN regexp_extract({u}, '{prgx}', 1) "
+            f"= '' THEN '/' ELSE regexp_extract({u}, '{prgx}', 1) END, "
+            f"'[^/]*$', '')")
+    return f"""
+    CASE WHEN regexp_matches({h}, '^#') OR {h} = '' THEN NULL
+         WHEN regexp_matches({h}, '{srgx}') THEN
+              CASE WHEN lower(regexp_extract({h}, '{srgx}', 1))
+                        IN ('http', 'https') THEN {h} END
+         WHEN regexp_matches({h}, '^//') THEN {scheme} || ':' || {h}
+         WHEN regexp_matches({h}, '^/') THEN
+              {scheme} || '://' || {_canon_host(u)} || {h}
+         WHEN regexp_matches({h}, '^(mailto|javascript|tel|data):')
+              THEN NULL
+         ELSE {scheme} || '://' || {_canon_host(u)} || {dir_} || {h}
+    END"""
+
+
+def _web_graph_cte() -> str:
+    """Shared DuckDB CTE chain replaying graph.extract_links over the
+    synthetic crawl: href regex harvest -> resolution CASE ladder ->
+    canonicalization of BOTH endpoints -> self-loop drop -> distinct."""
+    canon_u = _canon_expr("url")
+    canon_t = _canon_expr("target")
+    return f"""
+{_web_pages_cte()},
 raw_anchors AS (SELECT url,
     unnest(regexp_extract_all(html,
         $hre$<a\\s[^>]*href\\s*=\\s*["']([^"']+)["']$hre$, 1)) AS h0
   FROM pages),
 anchors AS (SELECT url, trim(h0) AS h FROM raw_anchors),
-res AS (SELECT url,
-    CASE WHEN regexp_matches(h, '^#') OR h = '' THEN NULL
-         WHEN regexp_matches(h, '{srgx}') THEN
-              CASE WHEN lower(regexp_extract(h, '{srgx}', 1))
-                        IN ('http', 'https') THEN h END
-         WHEN regexp_matches(h, '^//') THEN
-              lower(regexp_extract(url, '{srgx}', 1)) || ':' || h
-         WHEN regexp_matches(h, '^/') THEN
-              lower(regexp_extract(url, '{srgx}', 1)) || '://'
-              || {_canon_host('url')} || h
-         WHEN regexp_matches(h, '^(mailto|javascript|tel|data):')
-              THEN NULL
-         ELSE lower(regexp_extract(url, '{srgx}', 1)) || '://'
-              || {_canon_host('url')}
-              || regexp_replace(
-                   CASE WHEN regexp_extract(url,
-                        '^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^?#]*)',
-                        1) = '' THEN '/'
-                        ELSE regexp_extract(url,
-                        '^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^?#]*)', 1)
-                   END, '[^/]*$', '') || h
-    END AS target
-  FROM anchors),
+res AS (SELECT url, {_resolve_sql("url", "h")} AS target FROM anchors),
 edges AS (SELECT DISTINCT {canon_u} AS src, {canon_t} AS dst
           FROM res WHERE target IS NOT NULL AND {canon_u} <> {canon_t})
 """
@@ -1746,16 +1752,17 @@ def _web_pages(spark, sf):
         F.lit("HTTPS://"), F.element_at(domains, (did % 5).cast("int") + 1),
         F.lit(":443/d/"), did.cast("string"),
         F.lit("/index.html?utm_source=crawl&v="), (did % 3).cast("string"))
-    hub = F.lit(f'<a href="{_WEB_HUB}">hub</a>')
+    hub = F.lit(f'<a href="{_WEB_HUB}">Portal  Home</a>')
     nxt = F.when(did % 7 != 0, F.concat(
         F.lit('<a href="/d/'), (did + 1).cast("string"),
         F.lit('/index.html?v='), ((did + 1) % 3).cast("string"),
-        F.lit('">next</a>'))).otherwise(F.lit(""))
+        F.lit('">Part '), (did + 1).cast("string"),
+        F.lit('</a>'))).otherwise(F.lit(""))
     asset = F.concat(F.lit('<a href="//static.site.net/lib-'),
-                     (did % 4).cast("string"), F.lit('.js">a</a>'))
+                     (did % 4).cast("string"), F.lit('.js">lib asset</a>'))
     rel = F.when(did % 5 == 2, F.concat(
         F.lit('<a href="rel-'), (did % 6).cast("string"),
-        F.lit('.html?z=2&utm_term=q">r</a>'))).otherwise(F.lit(""))
+        F.lit('.html?z=2&utm_term=q">Related note</a>'))).otherwise(F.lit(""))
     junk = F.lit('<a href="#top">t</a><a href="mailto:x@y.z">m</a>')
     return d.select(url.alias("url"),
                     F.concat(hub, nxt, asset, rel, junk).alias("html"))
@@ -1773,11 +1780,12 @@ def web_links(spark, sf):
     return extract_links(_web_pages(spark, sf))
 
 
-def _pagerank_sql(iters: int = 3, scale: int = 10 ** 12,
+def _pagerank_cte(iters: int = 3, scale: int = 10 ** 12,
                   d: int = 85) -> str:
-    """DuckDB replay of graph.pagerank_fixed_point over the web_links
-    edges: the power iteration unrolled as chained CTEs, one dangling
-    scalar subquery per round, every step exact integer arithmetic."""
+    """CTE chain replaying graph.pagerank_fixed_point over the edges
+    CTE: the power iteration unrolled, one dangling scalar subquery per
+    round, every step exact integer arithmetic. Final ranks in
+    r{iters}."""
     steps = []
     for i in range(iters):
         steps.append(f"""
@@ -1792,15 +1800,17 @@ r{i + 1} AS (SELECT n.node,
          + (SELECT dang FROM d{i}) // (SELECT n FROM c))) // 100 AS rank
     FROM nodes n LEFT JOIN i{i} i USING (node))""")
     return f"""
-WITH {_web_graph_cte()},
 nodes AS (SELECT src AS node FROM edges
           UNION SELECT dst AS node FROM edges),
 deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 c AS (SELECT count(*) AS n, {scale} // count(*) AS base FROM nodes),
 r0 AS (SELECT node, (SELECT base FROM c) AS rank FROM nodes),
-{",".join(steps)}
-SELECT node, rank::bigint AS rank FROM r{iters}
-"""
+{",".join(steps)}"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    return (f"WITH {_web_graph_cte()}, {_pagerank_cte(iters)} "
+            f"SELECT node, rank::bigint AS rank FROM r{iters}")
 
 
 @_q("web_pagerank", _pagerank_sql())
@@ -1816,6 +1826,90 @@ def web_pagerank(spark, sf):
         extract_links, pagerank_fixed_point)
     edges = extract_links(_web_pages(spark, sf))
     return pagerank_fixed_point(edges, iters=3)
+
+
+def _anchor_text_sql() -> str:
+    """DuckDB replay of graph.extract_anchor_texts: full anchor tags
+    harvested, href/text split per tag, target resolved + canonicalized,
+    text lowercased + whitespace-normalized, distinct pairs."""
+    rgx = ("<a\\s[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"
+           "[^>]*>([^<]*)</a>")
+    return f"""
+WITH {_web_pages_cte()},
+tags0 AS (SELECT url,
+    unnest(regexp_extract_all(html, $arx${rgx}$arx$, 0)) AS tag
+  FROM pages),
+parsed AS (SELECT url,
+    trim(regexp_extract(tag, $arx${rgx}$arx$, 1)) AS h,
+    trim(regexp_replace(lower(regexp_extract(tag, $arx${rgx}$arx$, 2)),
+                        '\\s+', ' ', 'g')) AS anchor_text
+  FROM tags0),
+res AS (SELECT {_resolve_sql("url", "h")} AS target, anchor_text
+        FROM parsed)
+SELECT DISTINCT {_canon_expr("target")} AS dst, anchor_text
+FROM res WHERE target IS NOT NULL AND anchor_text <> ''
+"""
+
+
+@_q("web_anchor_text", _anchor_text_sql())
+def web_anchor_text(spark, sf):
+    """Anchor-text harvest (graph.extract_anchor_texts — the link-text
+    relevance signal: what OTHER pages call a URL): full anchor tags
+    split into (target, text) in one scan, targets resolved +
+    canonicalized, text normalized; distinct pairs hash-checked against
+    the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.graph import extract_anchor_texts
+    return extract_anchor_texts(_web_pages(spark, sf))
+
+
+def _frontier_sql(cap: int = 5) -> str:
+    """DuckDB replay of graph.frontier_batch over the web_links graph
+    and the 3-iteration PageRank: uncrawled dsts scored by exact
+    integer inflow, per-registered-domain cap window."""
+    host = _canon_host("url")
+    return f"""
+WITH {_web_graph_cte()}, {_pagerank_cte(3)},
+sh AS (SELECT g.src, r.rank // g.d AS share
+       FROM r3 r JOIN deg g ON r.node = g.src),
+fr AS (SELECT l.dst AS url, sum(s.share) AS score
+       FROM edges l JOIN sh s USING (src)
+       WHERE l.dst NOT IN (SELECT src FROM edges)
+       GROUP BY l.dst),
+lab AS (SELECT url, score, string_split({host}, '.') AS labels,
+               {host} AS host
+        FROM fr),
+dom AS (SELECT url, score,
+    CASE WHEN regexp_matches(host,
+              '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$')
+              OR len(labels) <= 2 THEN host
+         WHEN list_contains(['co.uk','org.uk','ac.uk','com.au','co.jp',
+                             'co.in','com.br','co.nz','com.cn','co.kr'],
+              array_to_string(labels[greatest(len(labels)-1, 1):], '.'))
+         THEN array_to_string(labels[greatest(len(labels)-2, 1):], '.')
+         ELSE array_to_string(labels[greatest(len(labels)-1, 1):], '.')
+    END AS domain
+  FROM lab),
+rk AS (SELECT url, score::bigint AS score, domain,
+              row_number() OVER (PARTITION BY domain
+                                 ORDER BY score DESC, url) AS domain_rank
+       FROM dom)
+SELECT url, score, domain, domain_rank FROM rk WHERE domain_rank <= {cap}
+"""
+
+
+@_q("web_frontier", _frontier_sql())
+def web_frontier(spark, sf):
+    """Crawl-frontier selection (graph.frontier_batch — the loop that
+    closes web-scale KBC: rank what to fetch next): uncrawled URLs
+    scored by the exact integer PageRank inflow their in-links carry,
+    at most 5 per registered domain by (score desc, url); the whole
+    chain (link harvest, 3 power iterations, inflow, politeness window)
+    hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.graph import (
+        extract_links, frontier_batch, pagerank_fixed_point)
+    edges = extract_links(_web_pages(spark, sf))
+    ranks = pagerank_fixed_point(edges, iters=3)
+    return frontier_batch(edges, ranks, max_per_domain=5)
 
 
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:

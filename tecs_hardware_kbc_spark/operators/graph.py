@@ -168,6 +168,76 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
     return ranks
 
 
+# full anchor tag; group 1 = href target, group 2 = the anchor text
+ANCHOR_RGX = r'<a\s[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*>([^<]*)</a>'
+
+
+def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
+                         html_col: str = "html") -> DataFrame:
+    """(dst, anchor_text) pairs — the link-text relevance signal (what
+    OTHER pages call a URL names the entity behind it better than the
+    page itself; search engines and KG entity-naming both lean on it).
+
+    Same shape as ``extract_links``: one projection pulls every full
+    anchor tag into an array, a transform splits each tag into
+    (href, text) WITHOUT a second scan of the page, then one explode.
+    Text is whitespace-normalized and lowercased; empty texts and
+    unresolvable targets drop."""
+    tags = pages.select(
+        F.col(url_col).alias("_page"),
+        F.explode(F.regexp_extract_all(F.col(html_col),
+                                       F.lit(ANCHOR_RGX), F.lit(0)))
+        .alias("tag"))
+    parsed = tags.select(
+        "_page",
+        F.regexp_extract("tag", ANCHOR_RGX, 1).alias("href"),
+        F.trim(F.regexp_replace(
+            F.lower(F.regexp_extract("tag", ANCHOR_RGX, 2)),
+            r"\s+", " ")).alias("anchor_text"))
+    return (parsed
+            .select(canonicalize_url(
+                resolve_href(F.col("_page"), F.col("href"))).alias("dst"),
+                "anchor_text")
+            .filter(F.col("dst").isNotNull() & (F.col("anchor_text") != ""))
+            .distinct())
+
+
+def frontier_batch(edges: DataFrame, ranks: DataFrame,
+                   max_per_domain: int = 100) -> DataFrame:
+    """Next crawl batch: uncrawled URLs ranked by the PageRank mass
+    their in-links carry, capped per registered domain.
+
+    ``edges`` is the (src, dst) link table; a node is CRAWLED iff it
+    appears as a src (we parsed its page), so the frontier is the
+    dangling set. Each frontier URL scores the exact integer inflow it
+    would receive in the next power iteration (rank(src) // out_deg
+    summed over its in-links — reuses ``ranks`` from
+    ``pagerank_fixed_point``), and a per-domain row_number over
+    (score desc, url) enforces politeness caps the way
+    ``urls.domain_cap`` does for documents.
+
+    One src-keyed join + one dst-keyed aggregation + one window keyed
+    by domain — a hot domain costs one window partition, never a
+    join explosion."""
+    from pyspark.sql.window import Window
+    from tecs_hardware_kbc_spark.operators.urls import registered_domain
+
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    share = ranks.join(deg, ranks.node == deg.src).select(
+        "src", _idiv(F.col("rank"), F.col("out_deg")).alias("share"))
+    crawled = edges.select("src").distinct()
+    frontier = (edges.join(crawled.withColumnRenamed("src", "dst"),
+                           "dst", "left_anti")
+                .join(share, "src")
+                .groupBy("dst").agg(F.sum("share").alias("score")))
+    d = frontier.select(
+        F.col("dst").alias("url"), "score",
+        registered_domain(url_host(F.col("dst"))).alias("domain"))
+    w = Window.partitionBy("domain").orderBy(F.desc("score"), "url")
+    return (d.withColumn("domain_rank", F.row_number().over(w))
+            .filter(F.col("domain_rank") <= max_per_domain))
+
+
 def degree_stats(edges: DataFrame) -> DataFrame:
     """(node, out_deg, in_deg) for every node in the edge list — the
     cheap first look at a crawl graph (hub/authority shape, dangling

@@ -4,8 +4,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from tecs_hardware_kbc_spark.operators.graph import (
-    DEFAULT_DAMPING_PCT, DEFAULT_SCALE, degree_stats, extract_links,
-    pagerank_fixed_point)
+    DEFAULT_DAMPING_PCT, DEFAULT_SCALE, degree_stats, extract_anchor_texts,
+    extract_links, frontier_batch, pagerank_fixed_point)
 
 
 def _pages(spark, rows):
@@ -96,6 +96,46 @@ def test_pagerank_dangling_mass_redistributes(spark):
     assert got == _pagerank_py([("a", "b")], iters=2)
     base = DEFAULT_SCALE // 2
     assert got["a"] > (100 - DEFAULT_DAMPING_PCT) * base // 100
+
+
+def test_extract_anchor_texts_normalizes_and_dedups(spark):
+    pages = _pages(spark, [
+        ("https://a.com/p",
+         '<a href="/q?utm_source=s">  Buy   NOW </a>'
+         '<a href="/q">buy now</a>'          # same pair after normalize
+         '<a href="/r"></a>'                 # empty text drops
+         '<a href="#x">frag</a>'),
+        ("https://b.com/p", '<a href="https://a.com/q">Other name</a>'),
+    ])
+    got = {(r.dst, r.anchor_text)
+           for r in extract_anchor_texts(pages).collect()}
+    assert got == {("https://a.com/q", "buy now"),
+                   ("https://a.com/q", "other name")}
+
+
+def test_frontier_batch_scores_and_caps(spark):
+    # crawled: a, b (appear as src); frontier: c, d, e — c has two
+    # in-links and must outscore d/e; cap=1 keeps only the best per
+    # domain (c.com vs d.com share no domain here, e shares with c)
+    edges = spark.createDataFrame(
+        [("https://a.com/1", "https://c.com/x"),
+         ("https://b.com/1", "https://c.com/x"),
+         ("https://a.com/1", "https://d.com/y"),
+         ("https://b.com/1", "https://www.c.com/z"),
+         ("https://a.com/1", "https://b.com/1")],
+        "src string, dst string")
+    ranks = pagerank_fixed_point(edges, iters=1)
+    out = frontier_batch(edges, ranks, max_per_domain=1)
+    rows = {r.url: (r.score, r.domain, r.domain_rank) for r in out.collect()}
+    # b.com/1 is crawled (it is a src) so it is NOT in the frontier
+    assert "https://b.com/1" not in rows
+    assert set(rows) <= {"https://c.com/x", "https://d.com/y",
+                         "https://www.c.com/z"}
+    # c.com/x (2 in-links) wins the c.com domain over www.c.com/z
+    assert rows["https://c.com/x"][1] == "c.com"
+    assert "https://www.c.com/z" not in rows  # capped out by c.com/x
+    assert rows["https://c.com/x"][0] > rows["https://d.com/y"][0]
+    assert all(v[2] == 1 for v in rows.values())
 
 
 def test_degree_stats(spark):
