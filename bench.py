@@ -744,6 +744,96 @@ def run_rels_sweep(cpus: int, pages: int = 8000,
             "rows": rows}
 
 
+def run_pagerank(cpus: int, n_edges: int, repeats: int = 3) -> dict:
+    """Steady-state PageRank probe: a deterministic synthetic directed
+    graph (hash-derived endpoints, 20% of edges aimed at 32 hub nodes
+    for realistic in-degree skew, ~n_edges/4 nodes) written ONCE to
+    data/ and reused across parallelism levels, then
+    graph.pagerank_fixed_point (5 power iterations: per iteration one
+    src-keyed join + one map-combined groupBy(dst) + one driver scalar)
+    timed best-of-N warm. This is the iterative join+agg shape — a
+    different scaling profile from the scan-heavy datapath and funnel."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from tecs_hardware_kbc_spark.operators.graph import pagerank_fixed_point
+    from tecs_hardware_kbc_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    path = os.path.join(os.path.dirname(__file__) or ".", "data",
+                        f"bench_edges_{n_edges}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        n_nodes = max(n_edges // 4, 64)
+        ids = spark.range(n_edges)
+        h = lambda s: F.abs(F.xxhash64("id", F.lit(s)))  # noqa: E731
+        edges = ids.select(
+            (h("s") % n_nodes).alias("src"),
+            F.when(h("hub") % 5 == 0, h("h") % 32)
+            .otherwise(h("d") % n_nodes).alias("dst")) \
+            .filter(F.col("src") != F.col("dst")).distinct()
+        edges.write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    n_real = edges.count()
+
+    def lap() -> float:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        pagerank_fixed_point(edges, iters=5).count()
+        return time.monotonic() - t0
+
+    _ramp_cpu()
+    lap()  # untimed warm-up (codegen + clock ramp)
+    _ramp_cpu()
+    times = [lap() for _ in range(repeats)]
+    best, med = min(times), sorted(times)[len(times) // 2]
+    return {
+        "metric": "pagerank_5_iters", "edges": n_real, "cpus": cpus,
+        "sec": round(best, 3), "sec_median": round(med, 3),
+        "edges_per_sec": round(n_real / best, 1),
+    }
+
+
+def run_pagerank_scaling() -> None:
+    """north_rule evidence on the GRAPH axis: the same 5-iteration
+    PageRank over the same edge table at local[8] and local[32],
+    alternating launches min-merged, plus a quarter-input 8-core run
+    for weak scaling."""
+    def probe(cpus: int, edges: int) -> dict:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_BENCH_EDGES=str(edges))
+        out = subprocess.run(
+            [sys.executable, __file__, "--pagerank"], env=env,
+            capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    n_edges = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "2000000"))
+    runs_8, runs_32 = [], []
+    for _ in range(2):
+        runs_32.append(probe(32, n_edges))
+        runs_8.append(probe(8, n_edges))
+    weak_8 = probe(8, n_edges // 4)
+    s8 = min(r["sec"] for r in runs_8)
+    s32 = min(r["sec"] for r in runs_32)
+    strong_eff = s8 / s32 / 4.0
+    weak_eff = weak_8["sec"] / s32
+    print(json.dumps({
+        "metric": "pagerank_scaling_8_to_32_cores",
+        "value": round(strong_eff, 3), "unit": "ratio",
+        "edges": runs_32[0]["edges"],
+        "sec_8": s8, "sec_32": s32,
+        "sec_8_quarter": weak_8["sec"],
+        "edges_per_sec_32": round(runs_32[0]["edges"] / s32, 1),
+        "strong_eff": round(strong_eff, 3),
+        "weak_eff": round(weak_eff, 3),
+        "host_anchor": _host_anchor(),
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -762,6 +852,11 @@ if __name__ == "__main__":
     elif "--curate" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
         print(json.dumps(run_curate(CPUS, n)))
+    elif "--pagerank-scaling" in sys.argv:
+        run_pagerank_scaling()
+    elif "--pagerank" in sys.argv:
+        n = int(os.environ.get("SPARK_GRAFT_BENCH_EDGES", "2000000"))
+        print(json.dumps(run_pagerank(CPUS, n)))
     elif "--datapath" in sys.argv:
         n = (int(N_PAGES_ENV) if N_PAGES_ENV
              else PAGES_BY_SF.get(_sf_label(), 8000))

@@ -146,8 +146,13 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
 
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
     for _ in range(iters):
+        # one materialization per iteration (values unchanged): the
+        # dangling scalar and the shares both read it, and without a
+        # checkpoint the next round's plan re-executes every prior
+        # round — O(iters^2)
         with_deg = ranks.join(deg, ranks.node == deg.src, "left") \
-            .select(ranks.node, "rank", "out_deg")
+            .select(ranks.node, "rank", "out_deg") \
+            .localCheckpoint(eager=True)
         # O(1) driver scalar per iteration: total rank of dangling nodes
         dang = with_deg.filter(F.col("out_deg").isNull()) \
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s")) \
