@@ -1912,6 +1912,131 @@ def web_frontier(spark, sf):
     return frontier_batch(edges, ranks, max_per_domain=5)
 
 
+_ROBOT_HOSTS = ["www.alpha.com", "beta.co.uk", "gamma-cdn.com",
+                "delta.org"]
+_ROBOTS_TXT = {
+    "www.alpha.com": ("# crawl policy\nUser-agent: *\n"
+                      "Disallow: /private/\nAllow: /private/ok\n"
+                      "Disallow:\n\nUser-agent: kbcbot\n"
+                      "Disallow: /tmp/\nAllow: /tmp/cache\n"),
+    "beta.co.uk": ("User-agent: kbcbot\nUser-agent: helper\n"
+                   "Disallow: /d/\n"),
+    "gamma-cdn.com": "User-agent: *\nDisallow: /\nAllow: /pub/\n",
+}
+
+
+def _robots_urls(spark, sf):
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    host = F.element_at(F.array(*[F.lit(h) for h in _ROBOT_HOSTS]),
+                        (did % 4).cast("int") + 1)
+    path = (F.when(did % 5 == 0, F.concat(F.lit("/private/p"),
+                                          (did % 10).cast("string")))
+            .when(did % 5 == 1, F.concat(F.lit("/private/ok/"),
+                                         (did % 10).cast("string")))
+            .when(did % 5 == 2, F.concat(F.lit("/d/"),
+                                         (did % 20).cast("string")))
+            .when(did % 5 == 3, F.lit("/tmp/cache"))
+            .otherwise(F.concat(F.lit("/pub/x"),
+                                (did % 7).cast("string"))))
+    return d.select(F.concat(F.lit("https://"), host, path).alias("url"))
+
+
+def _robots_sql(agent: str = "kbcbot") -> str:
+    """DuckDB replay of robots.parse_robots + apply_robots: the line
+    split, comment strip, User-agent grouping windows, agent-group
+    precedence (own shadows *), longest-prefix match and allow-on-tie
+    — over the same planted robots.txt blobs and URL table."""
+    vals = ", ".join(
+        "('%s', '%s')" % (d, t.replace("\n", "\\n").replace("'", "''"))
+        for d, t in _ROBOTS_TXT.items())
+    hosts = ", ".join(f"'{h}'" for h in _ROBOT_HOSTS)
+    return f"""
+WITH rb AS (SELECT domain, replace(txt, '\\n', chr(10)) AS txt
+            FROM (VALUES {vals}) AS v(domain, txt)),
+lines AS (SELECT domain, i AS pos,
+    trim(regexp_replace(string_split(txt, chr(10))[i], '#.*$', ''))
+      AS line
+  FROM rb, unnest(generate_series(1,
+       len(string_split(txt, chr(10))))) AS t(i)),
+typed AS (SELECT domain, pos,
+    lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS key,
+    trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS value
+  FROM lines),
+dirs AS (SELECT * FROM typed WHERE key <> ''),
+marked AS (SELECT *,
+    CASE WHEN key = 'user-agent' AND coalesce(
+         lag(key) OVER (PARTITION BY domain ORDER BY pos), '')
+         <> 'user-agent' THEN 1 ELSE 0 END AS new_group
+  FROM dirs),
+grouped AS (SELECT *, sum(new_group)
+    OVER (PARTITION BY domain ORDER BY pos) AS grp FROM marked),
+agents AS (SELECT domain, grp, lower(value) AS agent FROM grouped
+           WHERE key = 'user-agent'),
+rules0 AS (SELECT domain, grp, key = 'allow' AS allow,
+                  value AS path_prefix, len(value) AS rule_len
+           FROM grouped
+           WHERE key IN ('allow', 'disallow') AND value <> ''
+             AND grp > 0),
+rules AS (SELECT a.domain, a.agent, r.allow, r.path_prefix, r.rule_len
+          FROM agents a JOIN rules0 r USING (domain, grp)),
+r AS (SELECT domain, agent = '{agent}' AS own, allow, path_prefix,
+             rule_len
+      FROM rules WHERE agent IN ('{agent}', '*')),
+own_dom AS (SELECT DISTINCT domain AS od, true AS has_own FROM r
+            WHERE own),
+u AS (SELECT DISTINCT 'https://'
+        || ([{hosts}])[(doc_id % 4)::int + 1]
+        || CASE doc_id % 5
+           WHEN 0 THEN '/private/p' || (doc_id % 10)::varchar
+           WHEN 1 THEN '/private/ok/' || (doc_id % 10)::varchar
+           WHEN 2 THEN '/d/' || (doc_id % 20)::varchar
+           WHEN 3 THEN '/tmp/cache'
+           ELSE '/pub/x' || (doc_id % 7)::varchar END AS url
+      FROM documents),
+uu AS (SELECT url,
+    regexp_extract(regexp_extract(lower(regexp_extract(url,
+        '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+).*$', 2)),
+        '^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1) AS _dom,
+    coalesce(nullif(regexp_extract(url,
+        '^[a-zA-Z][a-zA-Z0-9_+.-]*://[^/?#]+([^#]*)', 1), ''), '/')
+      AS _path
+  FROM u),
+j AS (SELECT uu.url, r.own, r.allow, r.path_prefix, r.rule_len,
+             (r.path_prefix IS NOT NULL
+              AND (r.own OR NOT coalesce(o.has_own, false))
+              AND starts_with(uu._path, r.path_prefix)) AS elig
+      FROM uu LEFT JOIN r ON uu._dom = r.domain
+              LEFT JOIN own_dom o ON uu._dom = o.od),
+best AS (SELECT *, row_number() OVER (PARTITION BY url
+    ORDER BY elig DESC, rule_len DESC, allow DESC, path_prefix) AS rn
+  FROM j)
+SELECT url,
+       CASE WHEN elig THEN allow ELSE true END AS allowed,
+       CASE WHEN elig THEN path_prefix END AS matched_rule
+FROM best WHERE rn = 1
+"""
+
+
+@_q("web_robots", _robots_sql())
+def web_robots(spark, sf):
+    """robots.txt compliance (robots.parse_robots + apply_robots — the
+    politeness gate between frontier and fetch): three planted
+    robots.txt files (comments, multi-agent headers, empty Disallow,
+    blanket disallow with an Allow carve-out) against planted URLs on
+    four hosts; the parse windows, RFC 9309 own-group-shadows-* choice,
+    longest-prefix precedence and allow-on-tie all hash-checked against
+    the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.robots import (
+        apply_robots, parse_robots)
+    robots = spark.createDataFrame(
+        [(d, t) for d, t in _ROBOTS_TXT.items()],
+        "domain string, robots_txt string")
+    rules = parse_robots(robots)
+    urls = _robots_urls(spark, sf).distinct()
+    return apply_robots(urls, rules, agent="kbcbot")
+
+
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
     u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
          "::ubigint / 4294967296.0)")
