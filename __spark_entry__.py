@@ -2037,6 +2037,76 @@ def web_robots(spark, sf):
     return apply_robots(urls, rules, agent="kbcbot")
 
 
+_BP_NAV = ('<nav><a href="/">Home</a> <a href="/parts">Parts catalog'
+           '</a> <a href="/dl">Downloads area</a> <a href="/help">'
+           'Support center</a></nav>')
+_BP_FOOT = ('<footer><a href="/privacy">Privacy policy</a> '
+            '<a href="/terms">Terms of service</a> '
+            '<a href="/legal">Imprint and legal notices</a></footer>')
+
+
+def _main_content_sql(min_chars: int = 25) -> str:
+    """DuckDB replay of boilerplate.main_content over pages assembled
+    from documents.text: block split, tag strip, anchor-text sum,
+    integer link-density gate, ordered rebuild."""
+    split_rgx = (r"(?is)</(?:p|div|li|td|th|h[1-6]|table|tr|ul|ol|"
+                 r"article|section|header|footer|nav|aside|"
+                 r"blockquote)>")
+    vis = ("trim(regexp_replace(regexp_replace({b}, '(?is)<[^>]*>', "
+           "' ', 'g'), '\\s+', ' ', 'g'))")
+    return f"""
+WITH pages AS (SELECT doc_id,
+    '{_BP_NAV}<p>' || substr(text, 1, 400)
+      || '</p><p>See <a href="/ds-' || doc_id::varchar
+      || '">the datasheet</a> for thermal limits, packaging drawings'
+      || ' and soldering notes.</p><p>Fig ' || (doc_id % 9)::varchar
+      || '.</p>{_BP_FOOT}' AS html
+  FROM documents),
+sig AS (SELECT doc_id,
+    list_transform(regexp_split_to_array(html, '{split_rgx}'),
+        b -> struct_pack(
+            t := {vis.format(b='b')},
+            lc := coalesce(list_sum(list_transform(
+                regexp_extract_all(b,
+                    '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+                a -> len({vis.format(b='a')}))), 0))) AS s
+  FROM pages),
+kept AS (SELECT doc_id,
+    list_filter(s, x -> len(x.t) >= {min_chars}
+                        AND x.lc * 3 <= len(x.t) * 1) AS k,
+    len(s) AS n_total
+  FROM sig)
+SELECT doc_id,
+       array_to_string(list_transform(k, x -> x.t), chr(10))
+         AS main_text,
+       len(k) AS n_blocks_kept,
+       n_total AS n_blocks_total
+FROM kept
+"""
+
+
+@_q("web_main_content", _main_content_sql())
+def web_main_content(spark, sf):
+    """Boilerplate removal (boilerplate.main_content — the jusText-style
+    block link-density pass between crawled HTML and document text):
+    pages assembled from documents.text wrapped in link-dense nav/footer
+    chrome plus a short figure caption; the block split, anchor-text
+    accounting, INTEGER density gate and ordered rebuild hash-checked
+    against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.boilerplate import main_content
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit(_BP_NAV), F.lit("<p>"), F.substring("text", 1, 400),
+        F.lit('</p><p>See <a href="/ds-'), did.cast("string"),
+        F.lit('">the datasheet</a> for thermal limits, packaging'
+              ' drawings and soldering notes.</p><p>Fig '),
+        (did % 9).cast("string"), F.lit(".</p>"), F.lit(_BP_FOOT))
+    pages = d.select("doc_id", html.alias("html"))
+    return main_content(pages).select(
+        "doc_id", "main_text", "n_blocks_kept", "n_blocks_total")
+
+
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
     u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
          "::ubigint / 4294967296.0)")
