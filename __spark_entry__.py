@@ -2107,6 +2107,353 @@ def web_main_content(spark, sf):
         "doc_id", "main_text", "n_blocks_kept", "n_blocks_total")
 
 
+# --- knowledge fusion / temporal KB (operators/fusion.py) ----------------
+# One deterministic observation stream synthesized from documents: 23
+# subjects x 3 predicates with conflicting objects, md5-uniform probs,
+# crawl timestamps on a (day, hour) grid — the post-extraction shape the
+# fusion operators consume. Both engines build it from the same exprs.
+
+_KG_OBS_SQL = """
+SELECT 'P' || (doc_id % 23)::varchar AS subj,
+       ['polarity', 'ce_v_max', 'typ_gbp'][1 + doc_id % 3] AS pred,
+       'v' || ((doc_id * 7) % 5)::varchar AS obj,
+       round(0.05 + 0.9 * (('0x' || substr(md5(doc_id::varchar
+           || ':fuse'), 1, 8))::ubigint / 4294967296.0), 6) AS prob,
+       'u' || doc_id::varchar AS src,
+       TIMESTAMP '2024-01-01'
+         + ((doc_id % 11)::int) * INTERVAL 1 DAY
+         + ((doc_id % 7)::int) * INTERVAL 1 HOUR AS warc_ts
+FROM documents
+"""
+
+_KG_FUSE_SQL = f"""
+WITH obs AS ({_KG_OBS_SQL})
+SELECT subj, pred, obj,
+       round(1.0 - list_reduce(
+           list_prepend(1.0::DOUBLE, list_sort(list(prob::DOUBLE))),
+           (a, q) -> a * (1.0 - q)), 6) AS prob,
+       count(DISTINCT src) AS n_src
+FROM obs GROUP BY subj, pred, obj
+"""
+
+_KG_FUNCTIONAL = ["ce_v_max", "polarity"]
+
+
+def _kg_obs(spark, sf):
+    from tecs_hardware_kbc_spark.operators.sampling import hash_u
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("P"), (did % 23).cast("string")).alias("subj"),
+        F.element_at(F.array(F.lit("polarity"), F.lit("ce_v_max"),
+                             F.lit("typ_gbp")),
+                     (1 + did % 3).cast("int")).alias("pred"),
+        F.concat(F.lit("v"),
+                 ((did * 7) % 5).cast("string")).alias("obj"),
+        F.round(0.05 + 0.9 * hash_u(did, "fuse"), 6).alias("prob"),
+        F.concat(F.lit("u"), did.cast("string")).alias("src"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_dt_interval(days=(did % 11).cast("int"),
+                              hours=(did % 7).cast("int")))
+        .alias("warc_ts"))
+
+
+@_q("kg_fuse", _KG_FUSE_SQL)
+def kg_fuse(spark, sf):
+    """Knowledge fusion (fusion.fuse_triples): noisy-or combination of
+    per-source extraction confidences per candidate fact — sorted-order
+    double fold on a 1e-6 prob grid, replayed bit-for-bit by DuckDB's
+    list_reduce. The Knowledge Vault step the reference performs
+    implicitly via its global threshold sweep."""
+    from tecs_hardware_kbc_spark.operators.fusion import fuse_triples
+    return fuse_triples(_kg_obs(spark, sf), src_col="src")
+
+
+@_q("kg_resolve", f"""
+WITH fused AS ({_KG_FUSE_SQL}),
+rk AS (SELECT *,
+        row_number() OVER (PARTITION BY subj, pred
+            ORDER BY prob DESC, n_src DESC, obj ASC) AS _rk,
+        count(*) OVER (PARTITION BY subj, pred) AS _n
+       FROM fused)
+SELECT subj, pred, obj, prob, n_src,
+       CASE WHEN pred IN ('ce_v_max', 'polarity') THEN _n
+            ELSE 1 END AS n_alt
+FROM rk
+WHERE pred NOT IN ('ce_v_max', 'polarity') OR _rk = 1
+""")
+def kg_resolve(spark, sf):
+    """Functional-predicate conflict resolution
+    (fusion.resolve_functional): one object survives per (subj, pred)
+    for functional predicates — argmax fused prob, deterministic
+    tie-break — non-functional predicates pass through; the window
+    argmax replayed in SQL."""
+    from tecs_hardware_kbc_spark.operators.fusion import (
+        fuse_triples, resolve_functional)
+    fused = fuse_triples(_kg_obs(spark, sf), src_col="src")
+    return resolve_functional(fused, _KG_FUNCTIONAL)
+
+
+@_q("kg_history", f"""
+WITH obs AS ({_KG_OBS_SQL}),
+c AS (SELECT subj, pred, obj, warc_ts,
+        CASE WHEN lag(obj) OVER (PARTITION BY subj, pred
+                 ORDER BY warc_ts, obj) IS NULL
+               OR lag(obj) OVER (PARTITION BY subj, pred
+                 ORDER BY warc_ts, obj) <> obj
+             THEN 1 ELSE 0 END AS chg
+      FROM obs),
+s AS (SELECT *, sum(chg) OVER (PARTITION BY subj, pred
+          ORDER BY warc_ts, obj
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM c),
+runs AS (SELECT subj, pred, seg, obj,
+           min(warc_ts) AS valid_from, count(*) AS n_obs
+         FROM s GROUP BY subj, pred, seg, obj)
+SELECT subj, pred, obj, valid_from,
+       lead(valid_from) OVER (PARTITION BY subj, pred
+           ORDER BY valid_from) AS valid_to,
+       n_obs
+FROM runs
+""")
+def kg_history(spark, sf):
+    """Temporal KB / SCD2 (fusion.kb_history): per-fact validity
+    intervals from the re-crawl observation stream — change-point
+    windows, run collapse, lead-closed intervals, open-ended current
+    value — every window replayed in DuckDB."""
+    from tecs_hardware_kbc_spark.operators.fusion import kb_history
+    return kb_history(_kg_obs(spark, sf))
+
+
+@_q("kg_validate", f"""
+WITH vobs AS (
+  SELECT 'P' || (doc_id % 23)::varchar AS subj,
+         ['ce_v_max', 'polarity', 'mystery'][1 + doc_id % 3] AS pred,
+         CASE WHEN doc_id % 3 = 0 THEN ((doc_id * 13) % 120)::varchar
+              WHEN doc_id % 3 = 1 THEN
+                CASE WHEN doc_id % 2 = 0 THEN 'NPN' ELSE 'PNP' END
+              ELSE 'x' || (doc_id % 4)::varchar END AS obj
+  FROM documents),
+sch(pred, dtype, lo, hi, functional) AS (VALUES
+  ('ce_v_max', 'numeric', 0.0, 100.0, true),
+  ('polarity', 'string', NULL, NULL, true)),
+nobj AS (SELECT subj, pred, count(DISTINCT obj) AS _n_obj
+         FROM vobs GROUP BY subj, pred),
+j AS (SELECT v.*, s.dtype, s.lo, s.hi, s.functional, n._n_obj,
+             try_cast(v.obj AS DOUBLE) AS num
+      FROM vobs v LEFT JOIN sch s USING (pred)
+      JOIN nobj n USING (subj, pred))
+SELECT subj, pred, obj, unnest(list_filter([
+    CASE WHEN dtype IS NULL THEN 'unknown_pred' END,
+    CASE WHEN dtype = 'numeric' AND num IS NULL
+         THEN 'not_numeric' END,
+    CASE WHEN dtype = 'numeric' AND num IS NOT NULL
+              AND (num < lo OR num > hi) THEN 'out_of_range' END,
+    CASE WHEN functional AND _n_obj > 1
+         THEN 'functional_conflict' END], x -> x IS NOT NULL))
+  AS violation
+FROM j
+""")
+def kg_validate(spark, sf):
+    """KB constraint checking (fusion.validate_kg): long-form
+    violations vs a broadcast predicate schema — unknown predicate,
+    type failure (try_cast), numeric range, functional multiplicity —
+    each check replayed in SQL."""
+    from tecs_hardware_kbc_spark.operators.fusion import validate_kg
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    vobs = d.select(
+        F.concat(F.lit("P"), (did % 23).cast("string")).alias("subj"),
+        F.element_at(F.array(F.lit("ce_v_max"), F.lit("polarity"),
+                             F.lit("mystery")),
+                     (1 + did % 3).cast("int")).alias("pred"),
+        F.when(did % 3 == 0, ((did * 13) % 120).cast("string"))
+        .when(did % 3 == 1,
+              F.when(did % 2 == 0, F.lit("NPN")).otherwise(F.lit("PNP")))
+        .otherwise(F.concat(F.lit("x"), (did % 4).cast("string")))
+        .alias("obj"))
+    schema = spark.createDataFrame(
+        [("ce_v_max", "numeric", 0.0, 100.0, True),
+         ("polarity", "string", None, None, True)],
+        "pred string, dtype string, lo double, hi double, "
+        "functional boolean")
+    return validate_kg(vobs, schema)
+
+
+@_q("kg_related", """
+WITH obs AS (
+  SELECT 'P' || (doc_id % 23)::varchar AS subj,
+         ['polarity', 'ce_v_max', 'typ_gbp'][1 + doc_id % 3] AS pred,
+         CASE WHEN doc_id % 10 < 3 THEN 'hot'
+              ELSE 'v' || ((doc_id * 7) % 40)::varchar END AS obj
+  FROM documents),
+facts AS (SELECT DISTINCT subj, pred, obj FROM obs),
+ok AS (SELECT pred, obj FROM facts
+       GROUP BY pred, obj HAVING count(*) <= 15),
+small AS (SELECT f.* FROM facts f JOIN ok USING (pred, obj))
+SELECT a.subj AS subj_a, b.subj AS subj_b, count(*) AS strength
+FROM small a JOIN small b USING (pred, obj)
+WHERE a.subj < b.subj
+GROUP BY a.subj, b.subj
+""")
+def kg_related(spark, sf):
+    """KG co-fact relatedness (fusion.related_subjects): subject pairs
+    sharing (pred, obj) facts, hot values dropped by the max_df
+    document-frequency cap BEFORE the self-join — the bounded-task
+    guard replayed via a HAVING gate in SQL. The base plants a 'hot'
+    object on ~30% of rows so the cap demonstrably drops it (its ~23
+    sharers exceed max_df=15) while the long-tail values pair up."""
+    from tecs_hardware_kbc_spark.operators.fusion import related_subjects
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    obs = d.select(
+        F.concat(F.lit("P"), (did % 23).cast("string")).alias("subj"),
+        F.element_at(F.array(F.lit("polarity"), F.lit("ce_v_max"),
+                             F.lit("typ_gbp")),
+                     (1 + did % 3).cast("int")).alias("pred"),
+        F.when(did % 10 < 3, F.lit("hot"))
+        .otherwise(F.concat(F.lit("v"), ((did * 7) % 40).cast("string")))
+        .alias("obj"))
+    return related_subjects(obs, max_df=15)
+
+
+@_q("kg_er", """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT CASE (doc_id // 40) % 4
+     WHEN 0 THEN 'BC' || (doc_id % 40)::varchar
+     WHEN 1 THEN 'BC' || (doc_id % 40)::varchar || 'A'
+     WHEN 2 THEN 'bc-' || (doc_id % 40)::varchar
+     ELSE 'BD' || (doc_id % 40)::varchar END AS name
+  FROM documents),
+base AS (SELECT name,
+    regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS norm
+  FROM names),
+norms AS (SELECT DISTINCT norm AS n FROM base WHERE len(norm) > 0),
+blocked AS (SELECT n, substr(n, 1, 4) AS blk FROM norms),
+ok AS (SELECT blk FROM blocked GROUP BY blk HAVING count(*) <= 500),
+bl AS (SELECT n, blk FROM blocked JOIN ok USING (blk)),
+e0 AS (SELECT l.n AS u, r.n AS v FROM bl l JOIN bl r USING (blk)
+       WHERE l.n < r.n AND abs(len(l.n) - len(r.n)) <= 1
+         AND levenshtein(l.n, r.n) <= 1),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon AS (SELECT u AS n, least(u, min(v)) AS c FROM reach GROUP BY u)
+SELECT base.name, base.norm,
+       coalesce(canon.c, base.norm) AS canonical
+FROM base LEFT JOIN canon ON base.norm = canon.n
+""")
+def kg_er(spark, sf):
+    """Fuzzy entity resolution (canonicalize.resolve_entity_names):
+    normalize surface forms, link normalized variants within 1 edit
+    inside prefix blocks, canonicalize components via star-contraction
+    CC — replayed with a recursive-CTE closure. The name mix plants
+    all three behaviors: punctuation/case variants unify by
+    normalization alone ('bc-12' with 'BC12'), suffix variants link by
+    edit distance ('BC12A'), and near-misses whose edit falls inside
+    the blocking prefix stay separate ('BD12'; single-digit 'BC5A' vs
+    'BC5' — the documented blocking recall trade)."""
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        resolve_entity_names)
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    n = (did % 40).cast("string")
+    # variant picked by doc_id // 40 so it decorrelates from the part
+    # number (doc_id % 4 would be a function of doc_id % 40)
+    v = F.floor(did / 40) % 4
+    name = (F.when(v == 0, F.concat(F.lit("BC"), n))
+            .when(v == 1, F.concat(F.lit("BC"), n, F.lit("A")))
+            .when(v == 2, F.concat(F.lit("bc-"), n))
+            .otherwise(F.concat(F.lit("BD"), n)))
+    return resolve_entity_names(d.select(name.alias("name")))
+
+
+# backslash spelled chr(92) throughout so the oracle source carries no
+# escape-processing ambiguity at all
+_NT_BASE_SQL = """
+SELECT 'P ' || (doc_id % 23)::varchar AS subj,
+       ['rel<a>', 'rel%b', 'polarity'][1 + doc_id % 3] AS pred,
+       CASE WHEN doc_id % 5 = 0
+            THEN 'say "' || (doc_id % 7)::varchar || '" ' || chr(92)
+            ELSE 'v' || ((doc_id * 7) % 5)::varchar END AS obj,
+       round(0.05 + 0.9 * (('0x' || substr(md5(doc_id::varchar
+           || ':fuse'), 1, 8))::ubigint / 4294967296.0), 6) AS prob
+FROM documents
+"""
+
+# chained replaces, same fixed ladders as functions/rdf.py (percent /
+# backslash first so later rewrites never re-match their own output)
+_NT_IRI = ("replace(replace(replace(replace(replace(replace({x}, "
+           "'%', '%25'), ' ', '%20'), '\"', '%22'), '<', '%3C'), "
+           "'>', '%3E'), '#', '%23')")
+_NT_LIT = ("replace(replace(replace(replace(replace({x}, "
+           "chr(92), chr(92)||chr(92)), '\"', chr(92)||'\"'), "
+           "chr(10), chr(92)||'n'), chr(13), chr(92)||'r'), "
+           "chr(9), chr(92)||'t')")
+
+
+@_q("kg_ntriples", f"""
+WITH nt AS ({_NT_BASE_SQL})
+SELECT subj, pred, obj,
+       '<http://kb.example/' || {_NT_IRI.format(x='subj')} || '> '
+       || '<http://kb.example/' || {_NT_IRI.format(x='pred')} || '> '
+       || '"' || {_NT_LIT.format(x='obj')} || '" .' AS line
+FROM nt
+""")
+def kg_ntriples(spark, sf):
+    """Graph materialization (rdf.to_ntriples): the fused KB rendered
+    as W3C N-Triples lines — IRI percent-encoding and the five
+    string-literal escapes replayed as the identical replace ladder in
+    DuckDB, hash-checked byte-for-byte. The base plants spaces and
+    angle brackets in IRIs and quotes/backslashes in literals so the
+    escaping is what's actually being checked."""
+    from tecs_hardware_kbc_spark.functions.rdf import to_ntriples
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    from tecs_hardware_kbc_spark.operators.sampling import hash_u
+    nt = d.select(
+        F.concat(F.lit("P "), (did % 23).cast("string")).alias("subj"),
+        F.element_at(F.array(F.lit("rel<a>"), F.lit("rel%b"),
+                             F.lit("polarity")),
+                     (1 + did % 3).cast("int")).alias("pred"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit('say "'), (did % 7).cast("string"),
+                        F.lit('" \\')))
+        .otherwise(F.concat(F.lit("v"), ((did * 7) % 5).cast("string")))
+        .alias("obj"),
+        F.round(0.05 + 0.9 * hash_u(did, "fuse"), 6).alias("prob"))
+    return to_ntriples(nt).select("subj", "pred", "obj", "line")
+
+
+@_q("kg_adjacency", f"""
+WITH obs AS ({_KG_OBS_SQL}),
+facts AS (SELECT DISTINCT subj, pred, obj FROM obs),
+g AS (SELECT subj, count(*) AS n_facts,
+        list_sort(list(struct_pack(pred := pred, obj := obj))) AS adj0
+      FROM facts GROUP BY subj)
+SELECT subj, n_facts, u.pos, u.pred, u.obj
+FROM (SELECT subj, n_facts,
+        unnest(list_transform(adj0[1:5], (e, i) -> struct_pack(
+            pos := i - 1, pred := e.pred, obj := e.obj))) AS u
+      FROM g)
+""")
+def kg_adjacency(spark, sf):
+    """Serving-side KG layout (rdf.adjacency_lists): per-subject sorted
+    adjacency with a visible max_degree truncation (true fact count
+    survives in n_facts) — flattened to long form for the hash compare
+    via posexplode, the DuckDB side replaying the sort + slice with a
+    correlated generate_series."""
+    from tecs_hardware_kbc_spark.functions.rdf import adjacency_lists
+    adj = adjacency_lists(_kg_obs(spark, sf), max_degree=5)
+    ex = adj.select("subj", "n_facts",
+                    F.posexplode("adj").alias("pos", "_e"))
+    return ex.select("subj", "n_facts", "pos",
+                     F.col("_e.pred").alias("pred"),
+                     F.col("_e.obj").alias("obj"))
+
+
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
     u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
          "::ubigint / 4294967296.0)")

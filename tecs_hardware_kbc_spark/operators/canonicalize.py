@@ -181,3 +181,69 @@ def canonicalize_entities(entities: DataFrame, components: DataFrame,
         out.groupBy("doc", "part", "attribute", "value")
         .agg(F.max("prob").alias("prob"))
     )
+
+
+def normalize_name(col) -> "F.Column":
+    """Surface-form normalization for entity names: lowercase and strip
+    every non-alphanumeric character — 'BC-546', 'bc 546' and 'BC546'
+    all collapse to 'bc546' before any fuzzy matching runs."""
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def fuzzy_alias_edges(names: DataFrame, name_col: str = "name",
+                      max_dist: int = 1, block_chars: int = 4,
+                      max_block: int = 500) -> DataFrame:
+    """(u, v) alias edges between DISTINCT normalized names within
+    Levenshtein distance ``max_dist`` — the fuzzy edge source for
+    entity resolution, feeding ``connected_components``.
+
+    All-pairs edit distance is quadratic in the vocabulary, so pairs
+    are generated per BLOCK (first ``block_chars`` normalized chars,
+    the standard prefix-blocking key): only names sharing the prefix
+    are compared, which also means a pair whose edit sits inside the
+    prefix is out of reach — blocking trades that recall for a bounded
+    join, the same deal every ER system makes. Blocks larger than
+    ``max_block`` are dropped before the self-join (hot prefixes like
+    'part' carry no discriminating signal and would re-create the
+    quadratic blowup — the dedup.py hot-shingle guard). A cheap length
+    pre-filter runs before the Levenshtein so most candidate pairs
+    never reach the O(len^2) comparison."""
+    norm = (names.select(normalize_name(F.col(name_col)).alias("n"))
+            .filter(F.length("n") > 0).distinct()
+            .withColumn("_b", F.substring("n", 1, block_chars)))
+    ok = (norm.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
+          .filter(F.col("_sz") <= max_block).select("_b"))
+    blocked = norm.join(ok, "_b")
+    a = blocked.select("_b", F.col("n").alias("u"))
+    b = blocked.select("_b", F.col("n").alias("v"))
+    return (a.join(b, "_b")
+            .filter((F.col("u") < F.col("v"))
+                    & (F.abs(F.length("u") - F.length("v"))
+                       <= max_dist)
+                    & (F.levenshtein("u", "v") <= max_dist))
+            .select("u", "v"))
+
+
+def resolve_entity_names(names: DataFrame, name_col: str = "name",
+                         max_dist: int = 1, block_chars: int = 4,
+                         max_block: int = 500) -> DataFrame:
+    """(name, norm, canonical): full fuzzy entity resolution — raw
+    surface forms normalize, normalized variants within ``max_dist``
+    edits (same block) link into alias components via star-contraction
+    connected components, and every name maps to its component's
+    lexicographic-min normalized form. Names with no fuzzy neighbor
+    canonicalize to their own normalized form. This is the
+    gazetteer-free half of entity linking: it unifies spellings the
+    dictionary never listed."""
+    base = (names.select(F.col(name_col).alias("name"))
+            .distinct()
+            .withColumn("norm", normalize_name(F.col("name"))))
+    edges = fuzzy_alias_edges(base.select(F.col("norm").alias("name")),
+                              max_dist=max_dist,
+                              block_chars=block_chars,
+                              max_block=max_block)
+    comp = connected_components(edges, src="u", dst="v").select(
+        F.col("node").alias("norm"), F.col("component").alias("_c"))
+    return (base.join(comp, "norm", "left")
+            .select("name", "norm",
+                    F.coalesce("_c", F.col("norm")).alias("canonical")))
