@@ -118,6 +118,11 @@ class SnapshotTable:
         EEXIST rebase onto the new head and retry."""
         for _ in range(retries):
             version = self.current_version() + 1
+            expect = manifest.get("expect_parent")
+            if expect is not None and version - 1 != expect:
+                raise CommitConflict(
+                    f"conditional replace expected head v{expect}, "
+                    f"found v{version - 1}: {self.dir}")
             manifest["version"] = version
             manifest["parent"] = version - 1 or None
             if manifest["operation"] == "append":
@@ -130,7 +135,8 @@ class SnapshotTable:
                                f"tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
                 json.dump({k: v for k, v in manifest.items()
-                           if k != "new_entries"}, f, indent=2)
+                           if k not in ("new_entries", "expect_parent")},
+                          f, indent=2)
             final = os.path.join(self._snap_dir, f"v{version}.json")
             try:
                 os.link(tmp, final)
@@ -155,14 +161,20 @@ class SnapshotTable:
             "operation": "append", "new_entries": entries,
             "idempotency_key": idempotency_key, "summary": summary or {}})
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  expect_version: int | None = None) -> int:
         """Commit ``df`` as a snapshot REPLACING the table contents
         (compaction / canonicalize rewrites). Old versions stay
-        readable via time travel until vacuum."""
+        readable via time travel until vacuum. ``expect_version`` makes
+        the replace CONDITIONAL (Iceberg's validate-snapshot-id): if the
+        head moved since the caller read it, the commit raises instead
+        of rebasing — a rebased overwrite would silently throw away the
+        concurrent append it replaced."""
         entries = self._write_data(df, self.current_version() + 1)
         return self._publish({
             "operation": "overwrite", "new_entries": entries,
-            "idempotency_key": None, "summary": summary or {}})
+            "idempotency_key": None, "summary": summary or {},
+            "expect_parent": expect_version})
 
     # -- reads ---------------------------------------------------------
 
@@ -205,6 +217,65 @@ class SnapshotTable:
         return out
 
     # -- maintenance -----------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """(version, operation, idempotency_key, summary, n_entries)
+        per committed snapshot, oldest first — the audit surface the
+        per-partition lineage metrics hang off."""
+        out = []
+        for v in self.versions():
+            m = self._manifest(v)
+            out.append({"version": v, "operation": m["operation"],
+                        "idempotency_key": m.get("idempotency_key"),
+                        "summary": m.get("summary", {}),
+                        "n_entries": len(m["entries"])})
+        return out
+
+    def compact(self, min_entries: int = 2) -> int | None:
+        """Rewrite the current contents as ONE data directory per
+        partition value — the small-files maintenance pass a streaming
+        table needs (every micro-batch append adds a manifest entry;
+        a day of 30s batches is 2,880 directories whose per-task open
+        cost eventually dominates the scan). No-op (returns None) when
+        the manifest already lists fewer than ``min_entries`` entries.
+
+        The rewrite commits as a CONDITIONAL overwrite pinned to the
+        version it read (see ``overwrite``): a micro-batch that lands
+        mid-compaction makes the compaction fail with CommitConflict —
+        retryable, never lossy. Old versions remain time-travelable
+        until ``expire_snapshots`` + ``vacuum``."""
+        v = self.current_version()
+        if v < 1:
+            return None
+        entries = self._manifest(v)["entries"]
+        if len(entries) < min_entries:
+            return None
+        return self.overwrite(
+            self.read(v), expect_version=v,
+            summary={"compaction_of": v,
+                     "entries_before": len(entries)})
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop the manifests of all but the newest ``keep_last``
+        snapshots (Iceberg's expire-snapshots): time travel to expired
+        versions stops working, and the data directories only they
+        referenced become orphans for the next ``vacuum`` to delete.
+        The head is never expired.
+
+        Retention interacts with exactly-once: idempotency keys live in
+        the manifests, so keys older than the retention are forgotten
+        and a micro-batch replayed from BEFORE the expired window would
+        re-append. Keep ``keep_last`` larger than the maximum possible
+        replay depth (checkpointed streams replay at most the last
+        uncommitted batch, so even keep_last=2 is safe there) — the
+        same contract Iceberg's expire-snapshots has with its own
+        WAP/idempotency metadata."""
+        keep_last = max(1, keep_last)
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            os.unlink(os.path.join(self._snap_dir, f"v{v}.json"))
+        return expired
 
     def vacuum(self) -> list[str]:
         """Delete data directories referenced by NO manifest — the

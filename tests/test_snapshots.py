@@ -83,3 +83,61 @@ def test_vacuum_removes_orphans_only(spark, tmp_path_factory):
     assert removed == ["99-deadbeef"]
     assert not os.path.exists(orphan)
     assert t.read().count() == 1
+
+
+def test_compact_merges_entries_and_preserves_rows(spark,
+                                                   tmp_path_factory):
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("snap") / "t"),
+                      partition_col="pred")
+    for i in range(4):                      # 4 micro-batch appends
+        t.append(_df(spark, [(i, "a" if i % 2 else "b", "x%d" % i)]))
+    before = t._manifest(t.current_version())["entries"]
+    assert len(before) == 4
+    v = t.compact()
+    assert v == 5
+    after = t._manifest(v)["entries"]
+    assert len(after) == 2                  # one dir per partition value
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3}
+    # manifest pruning still works after the rewrite
+    assert {r["id"] for r in t.read(where={"pred": "a"}).collect()} \
+        == {1, 3}
+    # history records the rewrite
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append"] * 4 + ["overwrite"]
+    assert t.history()[-1]["summary"]["compaction_of"] == 4
+
+
+def test_compact_noop_below_threshold(spark, tmp_path_factory):
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("snap") / "t"))
+    assert t.compact() is None              # empty table
+    t.append(_df(spark, [(1, "a", "x")]))
+    assert t.compact() is None              # single entry already
+    assert t.current_version() == 1
+
+
+def test_conditional_replace_refuses_to_drop_concurrent_append(
+        spark, tmp_path_factory):
+    from tecs_hardware_kbc_spark.plans.snapshots import CommitConflict
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("snap") / "t"))
+    t.append(_df(spark, [(1, "a", "x")]))
+    t.append(_df(spark, [(2, "b", "y")]))
+    snapshot = t.read(2)
+    t.append(_df(spark, [(3, "c", "z")]))   # lands mid-"compaction"
+    with pytest.raises(CommitConflict):
+        t.overwrite(snapshot, expect_version=2)
+    # nothing was lost
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_expire_snapshots_then_vacuum(spark, tmp_path_factory):
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("snap") / "t"))
+    for i in range(3):
+        t.append(_df(spark, [(i, "a", "x")]))
+    t.compact()
+    assert t.expire_snapshots(keep_last=1) == [1, 2, 3]
+    assert t.versions() == [4]
+    removed = t.vacuum()                    # pre-compaction dirs orphaned
+    assert len(removed) == 3
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2}
+    # the head can never be expired
+    assert t.expire_snapshots(keep_last=1) == []
