@@ -2454,6 +2454,114 @@ def kg_adjacency(spark, sf):
                      F.col("_e.obj").alias("obj"))
 
 
+# --- KG query surface (operators/kg_query.py) ----------------------------
+# A deterministic entity graph from documents: parts E* made_by makers
+# M*, makers located_in countries C*, a product_country head relation
+# that mostly (but not always — e%11 rows contradict, doc%5 rows are
+# absent) follows made_by∘located_in, plus an exported_to noise
+# relation. Both engines synthesize it from the same arithmetic.
+
+_KG_GRAPH_SQL = """
+SELECT 'E' || (doc_id % 40)::varchar AS subj, 'made_by' AS pred,
+       'M' || ((doc_id % 40) % 7)::varchar AS obj
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT 'M' || (doc_id % 7)::varchar, 'located_in',
+       'C' || ((doc_id % 7) % 3)::varchar
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 'E' || (doc_id % 40)::varchar, 'product_country',
+       'C' || (CASE WHEN (doc_id % 40) % 11 = 0
+                    THEN ((doc_id % 40) % 7 + 1) % 3
+                    ELSE ((doc_id % 40) % 7) % 3 END)::varchar
+FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0
+UNION ALL
+SELECT 'C' || ((doc_id % 7) % 3)::varchar, 'exported_to',
+       'C' || (((doc_id % 7) + 1) % 3)::varchar
+FROM documents WHERE doc_id % 3 = 2 AND doc_id % 5 = 0
+"""
+
+
+def _kg_graph(spark, sf):
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    e = did % 40
+    made = d.filter(did % 3 == 0).select(
+        F.concat(F.lit("E"), e.cast("string")).alias("subj"),
+        F.lit("made_by").alias("pred"),
+        F.concat(F.lit("M"), (e % 7).cast("string")).alias("obj"))
+    loc = d.filter(did % 3 == 1).select(
+        F.concat(F.lit("M"), (did % 7).cast("string")).alias("subj"),
+        F.lit("located_in").alias("pred"),
+        F.concat(F.lit("C"), ((did % 7) % 3).cast("string")).alias("obj"))
+    pc_c = (F.when(e % 11 == 0, ((e % 7) + 1) % 3)
+            .otherwise((e % 7) % 3))
+    pc = d.filter((did % 3 == 2) & (did % 5 != 0)).select(
+        F.concat(F.lit("E"), e.cast("string")).alias("subj"),
+        F.lit("product_country").alias("pred"),
+        F.concat(F.lit("C"), pc_c.cast("string")).alias("obj"))
+    exp = d.filter((did % 3 == 2) & (did % 5 == 0)).select(
+        F.concat(F.lit("C"), ((did % 7) % 3).cast("string")).alias("subj"),
+        F.lit("exported_to").alias("pred"),
+        F.concat(F.lit("C"), (((did % 7) + 1) % 3).cast("string"))
+        .alias("obj"))
+    return made.unionByName(loc).unionByName(pc).unionByName(exp)
+
+
+@_q("kg_bgp", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g)
+SELECT a.subj AS p, a.obj AS m, b.obj AS c
+FROM t a
+JOIN t b ON b.pred = 'located_in' AND b.subj = a.obj
+JOIN t h ON h.pred = 'product_country' AND h.subj = a.subj
+        AND h.obj = b.obj
+WHERE a.pred = 'made_by'
+""")
+def kg_bgp(spark, sf):
+    """SPARQL-style basic-graph-pattern matching (kg_query.match_bgp):
+    the triangle query "parts whose asserted product_country agrees
+    with their maker's location" — three triple patterns compiled to
+    selectivity-ordered self-joins on shared variables, replayed as
+    explicit joins in SQL. Constant predicates prune the
+    pred-partitioned triple sink at scale."""
+    from tecs_hardware_kbc_spark.operators.kg_query import match_bgp
+    kb = _kg_graph(spark, sf).distinct()
+    return match_bgp(kb, [("?p", "made_by", "?m"),
+                          ("?m", "located_in", "?c"),
+                          ("?p", "product_country", "?c")])
+
+
+@_q("kg_rules", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g),
+body AS (SELECT DISTINCT a.subj AS x, a.pred AS r1,
+                         b.pred AS r2, b.obj AS z
+         FROM t a JOIN t b ON a.obj = b.subj),
+heads AS (SELECT subj AS x, pred AS r3, obj AS z FROM t),
+supp AS (SELECT r1, r2, r3, count(*) AS support
+         FROM body JOIN heads USING (x, z) GROUP BY r1, r2, r3),
+nb AS (SELECT r1, r2, count(*) AS n_body FROM body GROUP BY r1, r2),
+pca AS (SELECT r1, r2, r3, count(*) AS n_pca
+        FROM body JOIN (SELECT DISTINCT x, r3 FROM heads) h USING (x)
+        GROUP BY r1, r2, r3)
+SELECT r1, r2, r3, support, n_body,
+       round(support / n_body, 6) AS confidence,
+       round(support / n_pca, 6) AS pca_confidence
+FROM supp JOIN nb USING (r1, r2) JOIN pca USING (r1, r2, r3)
+WHERE support >= 2
+""")
+def kg_rules(spark, sf):
+    """AMIE-style path-rule mining (kg_query.mine_path_rules): every
+    r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) rule with support ≥ 2, standard and
+    PCA confidence — one obj=subj self-join plus head joins, every
+    count replayed in SQL. The planted made_by ∘ located_in ⇒
+    product_country rule surfaces with high-but-imperfect confidence
+    (e%11 subjects contradict it, doc%5 subjects never assert it)."""
+    from tecs_hardware_kbc_spark.operators.kg_query import mine_path_rules
+    return mine_path_rules(_kg_graph(spark, sf), min_support=2)
+
+
 def _token_budget_sql(budget: int = 12000, buckets: int = 16) -> str:
     u = ("(('0x' || substr(md5(doc_id::varchar || ':budget'), 1, 8))"
          "::ubigint / 4294967296.0)")

@@ -1,0 +1,189 @@
+"""Querying and mining the constructed knowledge graph.
+
+Once the pipeline has fused and resolved a triple table, two things a
+KG user does next are (a) ask conjunctive queries over it — the SPARQL
+basic-graph-pattern shape, "find every (?part, ?maker, ?country) such
+that made_by(?part, ?maker) ∧ located_in(?maker, ?country)" — and
+(b) mine the regularities the graph itself exhibits, AMIE-style horn
+rules r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) with support and confidence, the
+standard KB-completion signal. The reference stops at a flat scored
+triple CSV plus ``compare-kb`` set algebra (``hack/opamps/
+analysis.py``); these operators give the table a query surface.
+
+Spark-first shape, following the S2RDF / SPARQLGX line of work: a BGP
+is nothing but self-joins over the triple table, so ``match_bgp``
+compiles patterns to filtered scans joined on shared variables and
+lets Catalyst do the rest. Join ORDER is the one decision Catalyst
+cannot make for us before stats exist, so patterns are greedily
+ordered most-constants-first and then connectivity-first (never join
+two scans with no shared variable unless the BGP is genuinely
+disconnected) — constants prune via the pred-partitioned triple sink
+(``sources/sinks.py`` partitions by pred, so a constant-predicate
+pattern is a partition-pruned scan at 100 TB, the classic vertical-
+partitioning win).
+
+``mine_path_rules`` is one obj=subj self-join (the path body), one
+join against the table as rule heads, and map-side-combinable
+groupBys — never an all-pairs product. The mid-variable y of a path
+x -r1-> y -r2-> z is the skew axis (a hub entity referenced by 100k
+subjects makes a quadratic bucket); ``max_mid_degree`` drops hub mids
+loudly by a degree predicate, the same hot-key guard as
+``dedup.py``'s shingle df-cap and ``fusion.related_subjects``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+#: Variables in a triple pattern start with '?'; anything else is a
+#: constant matched by equality.
+_VAR = "?"
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith(_VAR)
+
+
+def _pattern_vars(pat: tuple[str, str, str]) -> set[str]:
+    return {t for t in pat if _is_var(t)}
+
+
+def _order_patterns(patterns: list[tuple[str, str, str]]
+                    ) -> list[tuple[str, str, str]]:
+    """Greedy selectivity order: seed with the most-constant pattern,
+    then repeatedly take the most-constant pattern that shares a bound
+    variable (connectivity beats selectivity — a shared-var join is a
+    hash join, a var-free pairing is a cartesian product). Ties break
+    on original position, so the order is deterministic."""
+    idx = list(range(len(patterns)))
+    n_const = [3 - len(_pattern_vars(p)) for p in patterns]
+    remaining = sorted(idx, key=lambda i: (-n_const[i], i))
+    out = [remaining.pop(0)]
+    bound = set(_pattern_vars(patterns[out[0]]))
+    while remaining:
+        connected = [i for i in remaining
+                     if _pattern_vars(patterns[i]) & bound]
+        pick = min(connected or remaining,
+                   key=lambda i: (-n_const[i], i))
+        remaining.remove(pick)
+        out.append(pick)
+        bound |= _pattern_vars(patterns[pick])
+    return [patterns[i] for i in out]
+
+
+def match_bgp(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              subj_col: str = "subj", pred_col: str = "pred",
+              obj_col: str = "obj") -> DataFrame:
+    """Evaluate a SPARQL-style basic graph pattern against a triple
+    table: each pattern is ``(subj, pred, obj)`` where terms starting
+    with ``?`` are variables and everything else is a constant. Returns
+    one column per distinct variable (named without the ``?``), one row
+    per binding (duplicates preserved — wrap in ``.distinct()`` for
+    SPARQL's DISTINCT).
+
+    Each pattern compiles to a filtered scan of ``triples`` (constants
+    become equality predicates, pushed to the source by Catalyst;
+    a constant predicate prunes partitions of the pred-partitioned
+    triple sink). Scans join inner on shared variables in the greedy
+    order of ``_order_patterns``. A variable repeated WITHIN one
+    pattern (``(?x, 'likes', ?x)``) becomes a self-equality filter.
+    An all-constant pattern contributes an existence check (semantics
+    of SPARQL ASK folded into the conjunction): it joins as a 0-or-1
+    row scan, so a missing fact empties the result.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    cols = {subj_col: 0, pred_col: 1, obj_col: 2}
+    result = None
+    for pat in _order_patterns(patterns):
+        if len(pat) != 3:
+            raise ValueError(f"triple pattern must have 3 terms: {pat}")
+        scan = triples
+        proj, seen = [], {}
+        for col, i in cols.items():
+            term = pat[i]
+            if _is_var(term):
+                name = term[1:]
+                if not name:
+                    raise ValueError(f"bare '?' variable in {pat}")
+                if name in seen:            # repeated var in one pattern
+                    scan = scan.filter(F.col(col) == F.col(seen[name]))
+                else:
+                    seen[name] = col
+                    proj.append(F.col(col).alias(name))
+            else:
+                scan = scan.filter(F.col(col) == F.lit(term))
+        scan = scan.select(*proj) if proj else scan.select().limit(1)
+        if result is None:
+            result = scan
+        else:
+            shared = sorted(set(result.columns) & set(scan.columns))
+            result = (result.join(scan, on=shared, how="inner")
+                      if shared else result.crossJoin(scan))
+    return result
+
+
+def mine_path_rules(triples: DataFrame, min_support: int = 2,
+                    max_mid_degree: int | None = None,
+                    prob_decimals: int = 6) -> DataFrame:
+    """AMIE-style mining of length-2 path rules
+    ``r1(x, y) ∧ r2(y, z) ⇒ r3(x, z)`` over a (subj, pred, obj) triple
+    table. Returns one row per rule with:
+
+    - ``support``  — #distinct (x, z) pairs satisfying body AND head;
+    - ``n_body``   — #distinct (x, z) pairs satisfying the body;
+    - ``confidence``     — support / n_body (standard confidence);
+    - ``pca_confidence`` — support / #body pairs whose x asserts ANY
+      r3 fact — AMIE's partial-completeness assumption, the score
+      that does not punish a rule for the KB's own incompleteness.
+
+    Shape: triples are deduped once; the body is ONE self-join on
+    obj = subj (shuffle on the mid entity y); heads and the PCA
+    denominator are joins against the deduped table's (subj, pred[,
+    obj]) projections; all three counts are map-side-combinable
+    groupBys on (r1, r2[, r3]). ``max_mid_degree`` drops mid entities
+    whose total degree (in + out) exceeds the cap BEFORE the self-join —
+    the hub guard (see module docstring); at 100 TB also enable AQE
+    skew-join for the residual skew under the cap.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    left, right = t, t
+    if max_mid_degree is not None:
+        hot = (t.select(F.col("obj").alias("_mid"))
+               .unionByName(t.select(F.col("subj").alias("_mid")))
+               .groupBy("_mid").agg(F.count(F.lit(1)).alias("_deg"))
+               .filter(F.col("_deg") > max_mid_degree)
+               .select("_mid"))
+        left = t.join(F.broadcast(hot), t.obj == hot._mid,
+                      "left_anti")
+        right = t.join(F.broadcast(hot), t.subj == hot._mid,
+                       "left_anti")
+    body = (left.select(F.col("subj").alias("x"),
+                        F.col("pred").alias("r1"),
+                        F.col("obj").alias("y"))
+            .join(right.select(F.col("subj").alias("y"),
+                               F.col("pred").alias("r2"),
+                               F.col("obj").alias("z")), on="y")
+            .select("x", "r1", "r2", "z").distinct())
+    heads = t.select(F.col("subj").alias("x"),
+                     F.col("pred").alias("r3"),
+                     F.col("obj").alias("z"))
+    supp = (body.join(heads, on=["x", "z"])
+            .groupBy("r1", "r2", "r3")
+            .agg(F.count(F.lit(1)).alias("support")))
+    n_body = body.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).alias("n_body"))
+    pca = (body.join(heads.select("x", "r3").distinct(), on="x")
+           .groupBy("r1", "r2", "r3")
+           .agg(F.count(F.lit(1)).alias("_n_pca")))
+    return (supp.filter(F.col("support") >= min_support)
+            .join(n_body, on=["r1", "r2"])
+            .join(pca, on=["r1", "r2", "r3"])
+            .select(
+                "r1", "r2", "r3", "support", "n_body",
+                F.round(F.col("support") / F.col("n_body"),
+                        prob_decimals).alias("confidence"),
+                F.round(F.col("support") / F.col("_n_pca"),
+                        prob_decimals).alias("pca_confidence")))

@@ -1,0 +1,115 @@
+"""KG query surface: BGP matching and path-rule mining."""
+
+import pytest
+
+from tecs_hardware_kbc_spark.operators.kg_query import (
+    match_bgp, mine_path_rules, _order_patterns)
+
+TRIPLES = [
+    # made_by: part -> maker
+    ("p1", "made_by", "m1"),
+    ("p2", "made_by", "m1"),
+    ("p3", "made_by", "m2"),
+    # located_in: maker -> country
+    ("m1", "located_in", "de"),
+    ("m2", "located_in", "jp"),
+    # product_country: part -> country (p2 missing, p3 contradicts)
+    ("p1", "product_country", "de"),
+    ("p3", "product_country", "de"),
+    # an unrelated fact p3 also asserts (PCA vs std denominator)
+    ("p1", "likes", "p1"),
+]
+
+
+@pytest.fixture(scope="module")
+def kb(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+
+
+def test_bgp_two_hop_join(kb):
+    rows = match_bgp(kb, [("?p", "made_by", "?m"),
+                          ("?m", "located_in", "?c")]).collect()
+    got = {(r["p"], r["m"], r["c"]) for r in rows}
+    assert got == {("p1", "m1", "de"), ("p2", "m1", "de"),
+                   ("p3", "m2", "jp")}
+
+
+def test_bgp_constant_object_prunes(kb):
+    rows = match_bgp(kb, [("?p", "made_by", "?m"),
+                          ("?m", "located_in", "de")]).collect()
+    assert {r["p"] for r in rows} == {"p1", "p2"}
+    assert set(rows[0].asDict()) == {"p", "m"}
+
+
+def test_bgp_repeated_var_within_pattern(kb):
+    rows = match_bgp(kb, [("?x", "likes", "?x")]).collect()
+    assert [(r["x"],) for r in rows] == [("p1",)]
+
+
+def test_bgp_all_constant_pattern_is_existence_gate(kb):
+    pat = [("?p", "made_by", "?m"), ("m1", "located_in", "de")]
+    assert match_bgp(kb, pat).count() == 3         # fact holds: no-op
+    pat_missing = [("?p", "made_by", "?m"), ("m1", "located_in", "jp")]
+    assert match_bgp(kb, pat_missing).count() == 0  # fact absent: empty
+
+
+def test_bgp_order_avoids_cartesian(kb):
+    # given in the worst order: the two var-only-connected patterns
+    # are NOT adjacent; the planner must reorder to join on ?m first.
+    pats = [("?p", "made_by", "?m"), ("?q", "product_country", "?c"),
+            ("?m", "located_in", "?c")]
+    ordered = _order_patterns(pats)
+    # every pattern after the first shares a var with the prefix
+    bound = set(t for t in ordered[0] if t.startswith("?"))
+    for pat in ordered[1:]:
+        vs = {t for t in pat if t.startswith("?")}
+        assert vs & bound
+        bound |= vs
+    df = match_bgp(kb, pats)
+    assert "CartesianProduct" not in df._jdf.queryExecution().toString()
+    got = {(r["p"], r["q"]) for r in df.collect()}
+    # ?c bindings: de via m1 (p1,p2) x {p1,p3}; jp via m2 (p3) x {}
+    assert got == {("p1", "p1"), ("p1", "p3"),
+                   ("p2", "p1"), ("p2", "p3")}
+
+
+def test_bgp_rejects_bad_patterns(kb):
+    with pytest.raises(ValueError):
+        match_bgp(kb, [])
+    with pytest.raises(ValueError):
+        match_bgp(kb, [("?x", "made_by")])
+    with pytest.raises(ValueError):
+        match_bgp(kb, [("?", "made_by", "?m")])
+
+
+def test_mine_path_rules_metrics(kb):
+    rules = {(r["r1"], r["r2"], r["r3"]): r
+             for r in mine_path_rules(kb, min_support=1).collect()}
+    r = rules[("made_by", "located_in", "product_country")]
+    # body pairs: (p1,de) (p2,de) (p3,jp); heads match only (p1,de)
+    assert r["support"] == 1 and r["n_body"] == 3
+    assert r["confidence"] == pytest.approx(1 / 3, abs=1e-5)
+    # PCA: x with ANY product_country fact -> p1, p3 -> 2 body pairs
+    assert r["pca_confidence"] == pytest.approx(1 / 2)
+
+
+def test_mine_path_rules_min_support_filters(kb):
+    assert mine_path_rules(kb, min_support=2).where(
+        "r3 = 'product_country'").count() == 0
+
+
+def test_mine_path_rules_mid_degree_cap(spark):
+    # hub mid 'h' (degree 11) is dropped; quiet chain survives
+    rows = ([(f"a{i}", "r1", "h") for i in range(10)]
+            + [("h", "r2", "z"), ("a0", "r3", "z"),
+               ("q1", "r1", "q2"), ("q2", "r2", "q3"),
+               ("q1", "r3", "q3")])
+    t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    uncapped = mine_path_rules(t, min_support=1)
+    got = {tuple(r) for r in uncapped.select("r1", "r2", "r3",
+                                             "support").collect()}
+    assert ("r1", "r2", "r3", 2) in got
+    capped = mine_path_rules(t, min_support=1, max_mid_degree=5)
+    got = {tuple(r) for r in capped.select("r1", "r2", "r3",
+                                           "support").collect()}
+    assert ("r1", "r2", "r3", 1) in got     # only the quiet chain
