@@ -2532,6 +2532,28 @@ def kg_bgp(spark, sf):
                           ("?p", "product_country", "?c")])
 
 
+@_q("kg_paths", f"""
+WITH RECURSIVE g AS ({_KG_GRAPH_SQL}),
+e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),
+r AS (
+  SELECT src, dst, 1 AS hops FROM e
+  UNION
+  SELECT r.src, e.dst, r.hops + 1
+  FROM r JOIN e ON r.dst = e.src
+  WHERE r.hops < 3
+)
+SELECT src, dst, min(hops) AS hops FROM r GROUP BY src, dst
+""")
+def kg_paths(spark, sf):
+    """Bounded property-path closure (kg_query.reachability): min-hop
+    pairs within 3 hops over the whole entity graph — the E→M→C chains
+    plus the deliberate exported_to C0→C1→C2→C0 cycle, which the
+    frontier anti-join terminates (a pair enters once, at its shortest
+    depth). Replayed as a DuckDB recursive CTE + min GROUP BY."""
+    from tecs_hardware_kbc_spark.operators.kg_query import reachability
+    return reachability(_kg_graph(spark, sf), max_hops=3)
+
+
 @_q("kg_rules", f"""
 WITH g AS ({_KG_GRAPH_SQL}),
 t AS (SELECT DISTINCT subj, pred, obj FROM g),

@@ -125,6 +125,49 @@ def match_bgp(triples: DataFrame,
     return result
 
 
+def reachability(edges: DataFrame, max_hops: int = 3,
+                 src_col: str = "subj", dst_col: str = "obj"
+                 ) -> DataFrame:
+    """Bounded-depth transitive closure — the SPARQL property-path
+    ``p{1,K}`` shape: (src, dst, hops) with ``hops`` the MINIMUM hop
+    count ≤ ``max_hops`` from src to dst. Cycle-safe by construction:
+    each BFS round anti-joins the already-reached pair set, so a pair
+    enters the result exactly once, at its shortest depth, and a cycle
+    stops contributing the moment it stops discovering new pairs.
+
+    Scale shape: per round, one dst=src hash join of the FRONTIER
+    (new pairs only, never the accumulated closure) against the edge
+    table + one anti-join against the closure so far; the closure is
+    localCheckpoint'ed per round — without it round k's plan replays
+    rounds 1..k-1 (the ``pagerank_fixed_point`` lesson). Unbounded
+    closure over a web-scale graph is a different algorithm (CC /
+    semi-naive Datalog); this operator is for the small-K path
+    queries a KG serves.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().cache())
+    reach = e.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+    frontier = reach
+    for h in range(2, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (frontier.alias("f")
+               .join(e.alias("n"), F.col("f.dst") == F.col("n.src"))
+               .select(F.col("f.src").alias("src"),
+                       F.col("n.dst").alias("dst"))
+               .distinct()
+               .join(reach.select("src", "dst"), on=["src", "dst"],
+                     how="left_anti")
+               .withColumn("hops", F.lit(h))
+               .localCheckpoint(eager=True))   # frontier AND union leg
+        reach = reach.unionByName(nxt)         # union of checkpoints
+        frontier = nxt
+    return reach
+
+
 def mine_path_rules(triples: DataFrame, min_support: int = 2,
                     max_mid_degree: int | None = None,
                     prob_decimals: int = 6) -> DataFrame:

@@ -113,3 +113,26 @@ def test_mine_path_rules_mid_degree_cap(spark):
     got = {tuple(r) for r in capped.select("r1", "r2", "r3",
                                            "support").collect()}
     assert ("r1", "r2", "r3", 1) in got     # only the quiet chain
+
+
+def test_reachability_cycle_safe_min_hops(spark):
+    from tecs_hardware_kbc_spark.operators.kg_query import reachability
+    e = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "a"),
+         ("d", "r", "a")], ["subj", "pred", "obj"])
+    got = {(r["src"], r["dst"]): r["hops"]
+           for r in reachability(e, max_hops=3).collect()}
+    assert got[("a", "b")] == 1 and got[("d", "a")] == 1
+    assert got[("a", "c")] == 2 and got[("d", "b")] == 2
+    assert got[("a", "a")] == 3 and got[("d", "c")] == 3
+    assert len(got) == 12                   # 4 + 4 + 4, no dup pairs
+
+
+def test_reachability_early_stop_and_bounds(spark):
+    from tecs_hardware_kbc_spark.operators.kg_query import reachability
+    line = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c")], ["subj", "pred", "obj"])
+    assert reachability(line, max_hops=5).count() == 3  # drains at h=2
+    assert reachability(line, max_hops=1).count() == 2  # edges only
+    with pytest.raises(ValueError):
+        reachability(line, max_hops=0)
