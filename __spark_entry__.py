@@ -2532,6 +2532,23 @@ def kg_bgp(spark, sf):
                           ("?p", "product_country", "?c")])
 
 
+@_q("kg_stats", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g)
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subj,
+       count(DISTINCT obj) AS n_obj
+FROM t GROUP BY pred
+""")
+def kg_stats(spark, sf):
+    """VoID-style predicate statistics (kg_query.predicate_stats):
+    per-predicate triple/distinct-subject/distinct-object counts — the
+    cardinalities match_bgp's stats-aware join ordering estimates
+    pattern sizes from. One map-combinable groupBy, #preds rows."""
+    from tecs_hardware_kbc_spark.operators.kg_query import predicate_stats
+    return predicate_stats(_kg_graph(spark, sf).distinct())
+
+
 @_q("kg_paths", f"""
 WITH RECURSIVE g AS ({_KG_GRAPH_SQL}),
 e AS (SELECT DISTINCT subj AS src, obj AS dst FROM g),

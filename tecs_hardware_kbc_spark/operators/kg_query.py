@@ -49,23 +49,67 @@ def _pattern_vars(pat: tuple[str, str, str]) -> set[str]:
     return {t for t in pat if _is_var(t)}
 
 
-def _order_patterns(patterns: list[tuple[str, str, str]]
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """VoID-style property-partition statistics over a triple table:
+    one row per predicate with ``n_triples``, ``n_subj`` (distinct
+    subjects) and ``n_obj`` (distinct objects) — the cardinalities a
+    SPARQL optimizer estimates pattern sizes from. One map-side-
+    combinable groupBy; #preds rows, safe to collect and broadcast."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"))
+
+
+def _estimate_card(pat: tuple[str, str, str],
+                   stats: dict[str, tuple[int, int, int]],
+                   total: float) -> float:
+    """Estimated result size of one pattern under independence: the
+    predicate's triple count (``total`` for a variable predicate),
+    divided by its distinct-subject count when the subject is constant
+    and by its distinct-object count when the object is constant —
+    the textbook |p| / V(p, col) uniform estimate."""
+    subj, pred, obj = pat
+    if _is_var(pred):
+        n_triples = n_subj = n_obj = total
+    elif pred in stats:
+        n_triples, n_subj, n_obj = stats[pred]
+    else:
+        return 0.0                         # unknown predicate: empty
+    est = float(n_triples)
+    if not _is_var(subj):
+        est /= max(float(n_subj), 1.0)
+    if not _is_var(obj):
+        est /= max(float(n_obj), 1.0)
+    return est
+
+
+def _order_patterns(patterns: list[tuple[str, str, str]],
+                    stats: dict[str, tuple[int, int, int]] | None = None,
                     ) -> list[tuple[str, str, str]]:
-    """Greedy selectivity order: seed with the most-constant pattern,
-    then repeatedly take the most-constant pattern that shares a bound
+    """Greedy selectivity order: seed with the most selective pattern,
+    then repeatedly take the most selective pattern that shares a bound
     variable (connectivity beats selectivity — a shared-var join is a
-    hash join, a var-free pairing is a cartesian product). Ties break
+    hash join, a var-free pairing is a cartesian product). Without
+    ``stats``, selectivity is the constant count (more constants =
+    smaller scan); with ``stats`` (pred → (n_triples, n_subj, n_obj)),
+    it is the estimated cardinality of ``_estimate_card``. Ties break
     on original position, so the order is deterministic."""
     idx = list(range(len(patterns)))
-    n_const = [3 - len(_pattern_vars(p)) for p in patterns]
-    remaining = sorted(idx, key=lambda i: (-n_const[i], i))
+    if stats is None:
+        keys = [(len(_pattern_vars(p)) - 3, i)
+                for i, p in enumerate(patterns)]
+    else:
+        total = float(sum(s[0] for s in stats.values()))
+        keys = [(_estimate_card(p, stats, total), i)
+                for i, p in enumerate(patterns)]
+    remaining = sorted(idx, key=lambda i: keys[i])
     out = [remaining.pop(0)]
     bound = set(_pattern_vars(patterns[out[0]]))
     while remaining:
         connected = [i for i in remaining
                      if _pattern_vars(patterns[i]) & bound]
-        pick = min(connected or remaining,
-                   key=lambda i: (-n_const[i], i))
+        pick = min(connected or remaining, key=lambda i: keys[i])
         remaining.remove(pick)
         out.append(pick)
         bound |= _pattern_vars(patterns[pick])
@@ -75,7 +119,8 @@ def _order_patterns(patterns: list[tuple[str, str, str]]
 def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               subj_col: str = "subj", pred_col: str = "pred",
-              obj_col: str = "obj") -> DataFrame:
+              obj_col: str = "obj",
+              stats: DataFrame | dict | None = None) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern against a triple
     table: each pattern is ``(subj, pred, obj)`` where terms starting
     with ``?`` are variables and everything else is a constant. Returns
@@ -92,12 +137,22 @@ def match_bgp(triples: DataFrame,
     An all-constant pattern contributes an existence check (semantics
     of SPARQL ASK folded into the conjunction): it joins as a 0-or-1
     row scan, so a missing fact empties the result.
+
+    ``stats`` upgrades the constant-count join-order heuristic to
+    cardinality estimates: pass ``predicate_stats(triples)`` (or its
+    collected dict ``pred → (n_triples, n_subj, n_obj)``). The stats
+    table is #preds rows — collecting it is O(vocabulary), not O(data)
+    — and at 100 TB it is computed once per table version and reused
+    across every query, exactly VoID's role.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    if isinstance(stats, DataFrame):
+        stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+                 for r in stats.collect()}
     cols = {subj_col: 0, pred_col: 1, obj_col: 2}
     result = None
-    for pat in _order_patterns(patterns):
+    for pat in _order_patterns(patterns, stats):
         if len(pat) != 3:
             raise ValueError(f"triple pattern must have 3 terms: {pat}")
         scan = triples

@@ -136,3 +136,38 @@ def test_reachability_early_stop_and_bounds(spark):
     assert reachability(line, max_hops=1).count() == 2  # edges only
     with pytest.raises(ValueError):
         reachability(line, max_hops=0)
+
+
+def test_predicate_stats_values(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import predicate_stats
+    got = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
+           for r in predicate_stats(kb).collect()}
+    assert got == {"made_by": (3, 3, 2), "located_in": (2, 2, 2),
+                   "product_country": (2, 2, 1), "likes": (1, 1, 1)}
+
+
+def test_stats_aware_ordering_beats_constant_count():
+    from tecs_hardware_kbc_spark.operators.kg_query import (
+        _estimate_card, _order_patterns)
+    stats = {"big": (1000, 100, 100), "small": (2, 2, 2)}
+    pats = [("?x", "big", "?y"), ("?x", "small", "?z")]
+    # constant-count heuristic ties -> keeps original order
+    assert _order_patterns(pats)[0][1] == "big"
+    # cardinality estimates put the 2-row scan first
+    assert _order_patterns(pats, stats)[0][1] == "small"
+    # constant subject divides by distinct subjects: 1000/100 = 10
+    assert _estimate_card(("c1", "big", "?y"), stats, 1002.0) == 10.0
+    # variable predicate costs the whole table
+    assert _estimate_card(("?s", "?p", "?o"), stats, 1002.0) == 1002.0
+    # unknown predicate is provably empty -> estimate 0, runs first
+    assert _estimate_card(("?s", "nope", "?o"), stats, 1002.0) == 0.0
+
+
+def test_match_bgp_accepts_stats_dataframe(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import predicate_stats
+    rows = match_bgp(kb, [("?p", "made_by", "?m"),
+                          ("?m", "located_in", "?c")],
+                     stats=predicate_stats(kb)).collect()
+    got = {(r["p"], r["m"], r["c"]) for r in rows}
+    assert got == {("p1", "m1", "de"), ("p2", "m1", "de"),
+                   ("p3", "m2", "jp")}
