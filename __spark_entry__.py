@@ -2532,6 +2532,56 @@ def kg_bgp(spark, sf):
                           ("?p", "product_country", "?c")])
 
 
+_KG_SUBCLASS = [
+    ("npn", "bjt"), ("pnp", "bjt"), ("nmos", "fet"), ("pmos", "fet"),
+    ("bjt", "transistor"), ("fet", "transistor"),
+    ("transistor", "component"),
+    ("npn", "transistor"),   # shortcut: exercises min-depth dedup
+]
+
+
+@_q("kg_types", f"""
+WITH RECURSIVE sc(src, dst) AS (VALUES {", ".join(
+    f"('{a}', '{b}')" for a, b in _KG_SUBCLASS)}),
+cl AS (
+  SELECT src, dst, 1 AS hops FROM sc
+  UNION
+  SELECT cl.src, sc.dst, cl.hops + 1
+  FROM cl JOIN sc ON cl.dst = sc.src
+  WHERE cl.hops < 8),
+inst AS (SELECT DISTINCT 'E' || (doc_id % 40)::varchar AS subj,
+           ['npn', 'pnp', 'nmos', 'pmos'][1 + doc_id % 4] AS typ
+         FROM documents WHERE doc_id % 2 = 0),
+all_d AS (
+  SELECT subj, typ AS type, 0 AS depth FROM inst
+  UNION ALL
+  SELECT i.subj, cl.dst AS type, cl.hops AS depth
+  FROM inst i JOIN cl ON i.typ = cl.src)
+SELECT subj, type, min(depth) AS depth
+FROM all_d GROUP BY subj, type
+""")
+def kg_types(spark, sf):
+    """RDFS type-hierarchy entailment (kg_query.infer_types — rules
+    rdfs9/rdfs11): asserted instance types propagate up a subclass
+    hierarchy with a shortcut edge planted so the min-depth dedup is
+    exercised; the schema closure (reachability) broadcasts into one
+    join against the instance assertions. Replayed via a recursive
+    CTE + min GROUP BY."""
+    from tecs_hardware_kbc_spark.operators.kg_query import infer_types
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    inst = d.filter(did % 2 == 0).select(
+        F.concat(F.lit("E"), (did % 40).cast("string")).alias("subj"),
+        F.lit("type").alias("pred"),
+        F.element_at(F.array(F.lit("npn"), F.lit("pnp"), F.lit("nmos"),
+                             F.lit("pmos")),
+                     (1 + did % 4).cast("int")).alias("obj"))
+    schema = spark.createDataFrame(
+        [(a, "subclass_of", b) for a, b in _KG_SUBCLASS],
+        ["subj", "pred", "obj"])
+    return infer_types(inst.unionByName(schema))
+
+
 @_q("kg_stats", f"""
 WITH g AS ({_KG_GRAPH_SQL}),
 t AS (SELECT DISTINCT subj, pred, obj FROM g)

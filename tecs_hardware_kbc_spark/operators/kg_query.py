@@ -223,6 +223,42 @@ def reachability(edges: DataFrame, max_hops: int = 3,
     return reach
 
 
+def infer_types(triples: DataFrame, type_pred: str = "type",
+                subclass_pred: str = "subclass_of",
+                max_depth: int = 8) -> DataFrame:
+    """RDFS entailment for the type hierarchy — materialize what rules
+    rdfs9 + rdfs11 entail: if x type C and C subclass_of* D then
+    x type D. Returns (subj, type, depth) where depth is the number of
+    subclass hops from the ASSERTED class (0 = asserted directly) —
+    the provenance a downstream consumer needs to prefer specific
+    types over inherited ones.
+
+    Shape: the class hierarchy is schema-sized (thousands of classes,
+    not billions), so its bounded transitive closure via
+    ``reachability`` is cheap and the closure BROADCASTS into one join
+    against the instance-sized type assertions — the entity table
+    never shuffles. ``max_depth`` bounds pathological hierarchies;
+    cycles (C subclass_of* C) are safe per ``reachability`` and yield
+    the minimum-hop depth. Duplicate derivations of the same (subj,
+    type) keep the SMALLEST depth — the most direct justification."""
+    classes = (triples.filter(F.col("pred") == subclass_pred)
+               .select("subj", "obj"))
+    closure = reachability(classes, max_hops=max_depth,
+                           src_col="subj", dst_col="obj")
+    asserted = (triples.filter(F.col("pred") == type_pred)
+                .select("subj", F.col("obj").alias("type"))
+                .distinct())
+    direct = asserted.withColumn("depth", F.lit(0))
+    inherited = (asserted
+                 .join(F.broadcast(closure),
+                       asserted.type == closure.src)
+                 .select(asserted.subj, F.col("dst").alias("type"),
+                         F.col("hops").alias("depth")))
+    return (direct.unionByName(inherited)
+            .groupBy("subj", "type")
+            .agg(F.min("depth").alias("depth")))
+
+
 def mine_path_rules(triples: DataFrame, min_support: int = 2,
                     max_mid_degree: int | None = None,
                     prob_decimals: int = 6) -> DataFrame:

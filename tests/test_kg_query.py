@@ -171,3 +171,28 @@ def test_match_bgp_accepts_stats_dataframe(kb):
     got = {(r["p"], r["m"], r["c"]) for r in rows}
     assert got == {("p1", "m1", "de"), ("p2", "m1", "de"),
                    ("p3", "m2", "jp")}
+
+
+def test_infer_types_rdfs_entailment(spark):
+    from tecs_hardware_kbc_spark.operators.kg_query import infer_types
+    t = spark.createDataFrame(
+        [("q1", "type", "npn"), ("q2", "type", "mosfet"),
+         ("r1", "type", "resistor"),
+         ("npn", "subclass_of", "bjt"),
+         ("bjt", "subclass_of", "transistor"),
+         ("mosfet", "subclass_of", "transistor"),
+         ("transistor", "subclass_of", "component"),
+         # shortcut edge: q1's transistor must keep the SMALLER depth
+         ("npn", "subclass_of", "transistor")],
+        ["subj", "pred", "obj"])
+    got = {(r["subj"], r["type"]): r["depth"]
+           for r in infer_types(t).collect()}
+    assert got[("q1", "npn")] == 0
+    assert got[("q1", "bjt")] == 1
+    assert got[("q1", "transistor")] == 1       # shortcut beats 2-hop
+    assert got[("q1", "component")] == 2
+    assert got[("q2", "transistor")] == 1
+    assert got[("q2", "component")] == 2
+    assert got[("r1", "resistor")] == 0         # no hierarchy: asserted only
+    assert got[("q2", "mosfet")] == 0
+    assert len(got) == 8
