@@ -2532,6 +2532,30 @@ def kg_bgp(spark, sf):
                           ("?p", "product_country", "?c")])
 
 
+@_q("kg_bgp_opt", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g)
+SELECT a.subj AS p, a.obj AS m, h.obj AS c
+FROM t a
+LEFT JOIN (SELECT subj, obj FROM t
+           WHERE pred = 'product_country') h ON h.subj = a.subj
+WHERE a.pred = 'made_by'
+  AND (h.obj IS NULL OR h.obj <> 'C2')
+""")
+def kg_bgp_opt(spark, sf):
+    """SPARQL OPTIONAL + FILTER (kg_query.match_bgp): every made_by
+    pair keeps its product_country when asserted and NULL otherwise
+    (left join on the shared variable), then a FILTER with explicit
+    NULL handling drops the C2 bindings — replayed as LEFT JOIN +
+    WHERE in SQL."""
+    from tecs_hardware_kbc_spark.operators.kg_query import match_bgp
+    kb = _kg_graph(spark, sf).distinct()
+    return match_bgp(
+        kb, [("?p", "made_by", "?m")],
+        optional=[[("?p", "product_country", "?c")]],
+        filters=["c IS NULL OR c <> 'C2'"])
+
+
 _KG_SUBCLASS = [
     ("npn", "bjt"), ("pnp", "bjt"), ("nmos", "fet"), ("pmos", "fet"),
     ("bjt", "transistor"), ("fet", "transistor"),

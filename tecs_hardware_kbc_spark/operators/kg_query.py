@@ -120,7 +120,9 @@ def match_bgp(triples: DataFrame,
               patterns: list[tuple[str, str, str]],
               subj_col: str = "subj", pred_col: str = "pred",
               obj_col: str = "obj",
-              stats: DataFrame | dict | None = None) -> DataFrame:
+              stats: DataFrame | dict | None = None,
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
     """Evaluate a SPARQL-style basic graph pattern against a triple
     table: each pattern is ``(subj, pred, obj)`` where terms starting
     with ``?`` are variables and everything else is a constant. Returns
@@ -144,6 +146,17 @@ def match_bgp(triples: DataFrame,
     table is #preds rows — collecting it is O(vocabulary), not O(data)
     — and at 100 TB it is computed once per table version and reused
     across every query, exactly VoID's role.
+
+    ``optional`` is a list of OPTIONAL groups, each itself a list of
+    patterns: the group evaluates as its own BGP and LEFT-joins onto
+    the required result on their shared variables (unmatched rows keep
+    NULL for the group's new variables — SPARQL's OPTIONAL). Each
+    group must share at least one variable with the required patterns;
+    a var-free optional would be a cartesian product and is rejected.
+    ``filters`` is a list of SQL boolean expressions over the variable
+    columns (SPARQL FILTER), applied after all joins — note SQL
+    NULL semantics, so a filter on an optional variable drops the
+    unmatched rows unless it explicitly handles NULL.
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
@@ -151,6 +164,25 @@ def match_bgp(triples: DataFrame,
         stats = {r["pred"]: (r["n_triples"], r["n_subj"], r["n_obj"])
                  for r in stats.collect()}
     cols = {subj_col: 0, pred_col: 1, obj_col: 2}
+    result = _eval_bgp(triples, patterns, cols, stats)
+    for group in optional or []:
+        opt = _eval_bgp(triples, group, cols, stats)
+        shared = sorted(set(result.columns) & set(opt.columns))
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group} shares no variable with the "
+                "required patterns (var-free optional = cartesian)")
+        result = result.join(opt, on=shared, how="left")
+    for expr in filters or []:
+        result = result.filter(F.expr(expr))
+    return result
+
+
+def _eval_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]],
+              cols: dict[str, int],
+              stats: dict | None) -> DataFrame:
+    """Core conjunctive evaluation of one pattern group (see
+    ``match_bgp``)."""
     result = None
     for pat in _order_patterns(patterns, stats):
         if len(pat) != 3:

@@ -196,3 +196,31 @@ def test_infer_types_rdfs_entailment(spark):
     assert got[("r1", "resistor")] == 0         # no hierarchy: asserted only
     assert got[("q2", "mosfet")] == 0
     assert len(got) == 8
+
+
+def test_bgp_optional_left_join(kb):
+    rows = match_bgp(kb, [("?p", "made_by", "?m")],
+                     optional=[[("?p", "product_country", "?c")]]
+                     ).collect()
+    got = {(r["p"], r["c"]) for r in rows}
+    assert got == {("p1", "de"), ("p2", None), ("p3", "de")}
+
+
+def test_bgp_optional_varfree_rejected(kb):
+    with pytest.raises(ValueError):
+        match_bgp(kb, [("?p", "made_by", "?m")],
+                  optional=[[("?a", "located_in", "?b")]])
+
+
+def test_bgp_filter_expressions(kb):
+    rows = match_bgp(kb, [("?p", "made_by", "?m"),
+                          ("?m", "located_in", "?c")],
+                     filters=["c <> 'jp'", "p > 'p1'"]).collect()
+    assert {(r["p"], r["c"]) for r in rows} == {("p2", "de")}
+
+
+def test_bgp_filter_on_optional_var_uses_sql_null_semantics(kb):
+    rows = match_bgp(kb, [("?p", "made_by", "?m")],
+                     optional=[[("?p", "product_country", "?c")]],
+                     filters=["c IS NULL OR c = 'de'"]).collect()
+    assert {r["p"] for r in rows} == {"p1", "p2", "p3"}
