@@ -2532,6 +2532,40 @@ def kg_bgp(spark, sf):
                           ("?p", "product_country", "?c")])
 
 
+@_q("kg_e2e", f"""
+WITH fused AS ({_KG_FUSE_SQL}),
+rk AS (SELECT *,
+        row_number() OVER (PARTITION BY subj, pred
+            ORDER BY prob DESC, n_src DESC, obj ASC) AS _rk
+       FROM fused),
+resolved AS (SELECT subj, pred, obj, prob FROM rk
+             WHERE pred NOT IN ('ce_v_max', 'polarity') OR _rk = 1)
+SELECT subj, pred, obj, prob,
+       '<http://kb.example/' || {_NT_IRI.format(x='subj')} || '> '
+       || '<http://kb.example/' || {_NT_IRI.format(x='pred')} || '> '
+       || '"' || {_NT_LIT.format(x='obj')} || '" .' AS line
+FROM resolved
+""")
+def kg_e2e(spark, sf):
+    """The KG-materialization tail end-to-end as ONE checked query:
+    per-source observations → noisy-or fusion (fusion.fuse_triples) →
+    functional-predicate conflict resolution
+    (fusion.resolve_functional) → W3C N-Triples serialization
+    (rdf.to_ntriples), every stage replayed in the same SQL chain —
+    the dedup_e2e discipline applied to the knowledge-graph axis.
+    At 100 TB this is the exact shape of the final materialize job:
+    two fact-key shuffles (fusion groupBy + resolution window) and a
+    line-oriented projection."""
+    from tecs_hardware_kbc_spark.functions.rdf import to_ntriples
+    from tecs_hardware_kbc_spark.operators.fusion import (
+        fuse_triples, resolve_functional)
+    fused = fuse_triples(_kg_obs(spark, sf), src_col="src")
+    resolved = resolve_functional(fused, _KG_FUNCTIONAL).select(
+        "subj", "pred", "obj", "prob")
+    return to_ntriples(resolved).select(
+        "subj", "pred", "obj", "prob", "line")
+
+
 @_q("kg_bgp_opt", f"""
 WITH g AS ({_KG_GRAPH_SQL}),
 t AS (SELECT DISTINCT subj, pred, obj FROM g)
