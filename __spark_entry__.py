@@ -4086,6 +4086,256 @@ def media_features(spark, sf):
                               lambda x: F.round(x, 6))))
 
 
+@_q("kbc_calibration", """
+WITH sc AS (
+  SELECT round(0.05 + 0.9 * (('0x' || substr(md5(doc_id::varchar
+             || ':calp'), 1, 8))::bigint / 4294967296.0), 6) AS prob,
+         (('0x' || substr(md5(doc_id::varchar || ':call'), 1, 8))::bigint
+             / 4294967296.0) AS u2
+  FROM documents),
+lab AS (SELECT prob,
+          CASE WHEN u2 < 0.8 * prob + 0.05 THEN 1 ELSE 0 END AS correct
+        FROM sc),
+agg AS (SELECT least(CAST(floor(prob * 10) AS INT), 9) AS bin,
+          count(*)::bigint AS n,
+          round(avg(prob), 6) AS mean_prob,
+          round(avg(correct), 6) AS acc
+        FROM lab GROUP BY 1)
+SELECT bin, n, mean_prob, acc,
+       round(abs(mean_prob - acc), 6) AS gap
+FROM agg
+""")
+def kbc_calibration(spark, sf):
+    """Confidence calibration audit (scoring.calibration_bins):
+    reliability diagram of the extraction confidences against a
+    deterministically planted correctness signal with systematic
+    overconfidence (true accuracy = 0.8·prob + 0.05) — per-decile
+    count, mean claimed confidence, empirical accuracy and |gap|; the
+    count-weighted gap mean is ECE and the acc column is the
+    histogram-binning recalibration map (scoring.calibrate_histogram).
+    One map-combinable groupBy, O(bins) output at any corpus size."""
+    from tecs_hardware_kbc_spark.operators.sampling import hash_u
+    from tecs_hardware_kbc_spark.operators.scoring import calibration_bins
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    scored = d.select(
+        F.round(0.05 + 0.9 * hash_u(did, "calp"), 6).alias("prob"),
+        F.col("doc_id")).withColumn(
+        "correct",
+        F.when(hash_u(did, "call") < 0.8 * F.col("prob") + 0.05, 1)
+        .otherwise(0))
+    return calibration_bins(scored)
+
+
+@_q("kg_agg", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g),
+sol AS (SELECT a.subj AS p, a.obj AS m, b.obj AS c
+        FROM t a JOIN t b ON b.subj = a.subj
+        WHERE a.pred = 'made_by' AND b.pred = 'product_country')
+SELECT m, count(*)::bigint AS n_claims,
+       count(DISTINCT p)::bigint AS n_parts,
+       min(p) AS sample_part,
+       string_agg(DISTINCT c, ';' ORDER BY c) AS countries
+FROM sol GROUP BY m
+HAVING count(*) >= 2
+ORDER BY n_claims DESC, m
+LIMIT 5
+""")
+def kg_agg(spark, sf):
+    """SPARQL 1.1 aggregates over a BGP (kg_query.group_bgp): per
+    maker, count the product-country claims of its parts, the distinct
+    parts, a deterministic SAMPLE (lexicographic min) and a sorted
+    GROUP_CONCAT(DISTINCT) of the claimed countries, with HAVING +
+    ORDER BY + LIMIT — the solution modifiers compile to one
+    map-combinable groupBy and a TakeOrdered (never a global sort).
+    The ordering is made total (count desc, maker asc) so LIMIT is
+    deterministic; replayed as GROUP BY / HAVING / ORDER / LIMIT."""
+    from tecs_hardware_kbc_spark.operators.kg_query import group_bgp
+    kb = _kg_graph(spark, sf).distinct()
+    return group_bgp(
+        kb,
+        [("?p", "made_by", "?m"), ("?p", "product_country", "?c")],
+        group_vars=["?m"],
+        aggs=[("count", "*", "n_claims"),
+              ("count_distinct", "?p", "n_parts"),
+              ("sample", "?p", "sample_part"),
+              ("group_concat_distinct", "?c", "countries")],
+        having="n_claims >= 2",
+        order_by=["n_claims DESC", "m ASC"],
+        limit=5)
+
+
+@_q("kg_asof", f"""
+WITH obs AS ({_KG_OBS_SQL}),
+c AS (SELECT subj, pred, obj, warc_ts,
+        CASE WHEN lag(obj) OVER (PARTITION BY subj, pred
+                 ORDER BY warc_ts, obj) IS NULL
+               OR lag(obj) OVER (PARTITION BY subj, pred
+                 ORDER BY warc_ts, obj) <> obj
+             THEN 1 ELSE 0 END AS chg
+      FROM obs),
+s AS (SELECT *, sum(chg) OVER (PARTITION BY subj, pred
+          ORDER BY warc_ts, obj
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM c),
+runs AS (SELECT subj, pred, seg, obj,
+           min(warc_ts) AS valid_from, count(*) AS n_obs
+         FROM s GROUP BY subj, pred, seg, obj),
+hist AS (SELECT subj, pred, obj, valid_from,
+           lead(valid_from) OVER (PARTITION BY subj, pred
+               ORDER BY valid_from) AS valid_to,
+           n_obs
+         FROM runs)
+SELECT subj, pred, obj, valid_from, n_obs
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-06 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-06 00:00:00')
+""")
+def kg_asof(spark, sf):
+    """Point-in-time KB query (fusion.kb_asof): the facts the KB held
+    true at 2024-01-06 under the SCD2 validity intervals of
+    fusion.kb_history — time travel over the re-crawl stream as a pure
+    interval filter, no recomputation; the whole history fold plus the
+    as-of filter replays in SQL."""
+    from tecs_hardware_kbc_spark.operators.fusion import (
+        kb_asof, kb_history)
+    return kb_asof(kb_history(_kg_obs(spark, sf)),
+                   "2024-01-06 00:00:00")
+
+
+# --------------------------------------------------------------------------
+# KG embeddings: TransE trained in exact integer algebra, replayed in SQL
+# --------------------------------------------------------------------------
+
+def _kge_h32(expr: str) -> str:
+    """DuckDB image of kg_embed._h32: first 8 md5 hex chars as bigint."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::bigint)"
+
+
+_KGE_DIM, _KGE_EPOCHS, _KGE_LR, _KGE_MARGIN, _KGE_R = 4, 2, 25, 2000, 1000
+
+
+def _kge_train_sql() -> str:
+    """The WHOLE TransE training run (kg_embed.train_transe) unrolled
+    as SQL CTEs: md5 init grid, per-epoch corrupted-tail join, margin
+    test via a windowed L1 sum, full-batch subgradient GROUP BY, apply.
+    Returns the chain up to the final parameter table e{EPOCHS}."""
+    sgn = "CASE WHEN {x} > 0 THEN 1 WHEN {x} < 0 THEN -1 ELSE 0 END"
+    parts = [f"""
+g AS MATERIALIZED ({_KG_GRAPH_SQL}),
+trip AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM g),
+tr AS MATERIALIZED (SELECT subj || ':' || pred || ':' || obj AS tid, subj, pred, obj
+       FROM trip),
+ents AS MATERIALIZED (SELECT node, row_number() OVER (ORDER BY node) - 1 AS id
+         FROM (SELECT DISTINCT subj AS node FROM trip
+               UNION SELECT DISTINCT obj FROM trip)),
+nent AS MATERIALIZED (SELECT count(*) AS n FROM ents),
+dims AS MATERIALIZED (SELECT dim FROM range({_KGE_DIM}) r(dim)),
+nodes AS MATERIALIZED (SELECT node FROM ents
+          UNION SELECT DISTINCT pred FROM trip),
+e0 AS MATERIALIZED (SELECT node, dim,
+        {_kge_h32("node || ':' || dim::varchar || ':emb'")}
+          % {2 * _KGE_R + 1} - {_KGE_R} AS val
+       FROM nodes CROSS JOIN dims)"""]
+    for e in range(1, _KGE_EPOCHS + 1):
+        nid = _kge_h32(
+            f"t.subj || ':' || t.pred || ':' || t.obj || ':{e}:neg'")
+        sp, sn = sgn.format(x="dp"), sgn.format(x="dn")
+        parts.append(f""",
+L{e} AS MATERIALIZED (SELECT t.tid, t.subj, t.pred, t.obj, en.node AS neg, d.dim,
+           eh.val + er.val - et.val AS dp,
+           eh.val + er.val - eg.val AS dn
+         FROM tr t CROSS JOIN nent
+         JOIN ents en ON en.id = {nid} % nent.n
+         CROSS JOIN dims d
+         JOIN e{e - 1} eh ON eh.node = t.subj AND eh.dim = d.dim
+         JOIN e{e - 1} er ON er.node = t.pred AND er.dim = d.dim
+         JOIN e{e - 1} et ON et.node = t.obj AND et.dim = d.dim
+         JOIN e{e - 1} eg ON eg.node = en.node AND eg.dim = d.dim),
+G{e} AS MATERIALIZED (SELECT * FROM (
+           SELECT *, SUM(ABS(dp)) OVER (PARTITION BY tid) AS pos,
+                     SUM(ABS(dn)) OVER (PARTITION BY tid) AS negs
+           FROM L{e})
+         WHERE pos + {_KGE_MARGIN} > negs),
+D{e} AS MATERIALIZED (SELECT node, dim, SUM(d)::bigint AS d FROM (
+           SELECT subj AS node, dim, {_KGE_LR} * (({sn}) - ({sp})) AS d
+           FROM G{e}
+           UNION ALL SELECT pred, dim, {_KGE_LR} * (({sn}) - ({sp}))
+           FROM G{e}
+           UNION ALL SELECT obj, dim, {_KGE_LR} * ({sp}) FROM G{e}
+           UNION ALL SELECT neg, dim, -{_KGE_LR} * ({sn}) FROM G{e})
+         GROUP BY node, dim),
+e{e} AS MATERIALIZED (SELECT p.node, p.dim, (p.val + COALESCE(dl.d, 0))::bigint AS val
+         FROM e{e - 1} p LEFT JOIN D{e} dl
+           ON dl.node = p.node AND dl.dim = p.dim)""")
+    return "WITH " + "".join(parts)
+
+
+@_q("kg_embed", _kge_train_sql() + f"""
+SELECT node, dim::int AS dim, val::bigint AS val FROM e{_KGE_EPOCHS}
+""")
+def kg_embed(spark, sf):
+    """TransE knowledge-graph embeddings (kg_embed.train_transe) over
+    the synthetic KB: md5-seeded integer init, L1 margin loss,
+    md5-corrupted tails, FULL-BATCH integer subgradient updates — the
+    entire 2-epoch training run (not a frozen artifact) replayed
+    bit-for-bit by unrolled SQL CTEs, the kmeans_fixed_point /
+    pagerank_fixed_point discipline applied to gradient descent. Per
+    epoch the plan is four node-keyed equi-joins + one window + one
+    map-combinable groupBy — at 10^9 triples x dim 64 this is
+    synchronous parameter-averaging SGD with no driver state."""
+    from tecs_hardware_kbc_spark.operators.kg_embed import train_transe
+    kb = _kg_graph(spark, sf).distinct()
+    return (train_transe(kb, dim=_KGE_DIM, epochs=_KGE_EPOCHS,
+                         lr=_KGE_LR, margin=_KGE_MARGIN)
+            .select("node", "dim", "val"))
+
+
+@_q("kg_linkpred", _kge_train_sql() + f""",
+test AS MATERIALIZED (SELECT * FROM tr WHERE pred = 'product_country'),
+cand AS MATERIALIZED (SELECT t.tid, t.subj, t.pred, t.obj, c.node AS cand
+         FROM test t CROSS JOIN (SELECT node FROM ents) c
+         WHERE NOT EXISTS (SELECT 1 FROM trip f
+                           WHERE f.subj = t.subj AND f.pred = t.pred
+                             AND f.obj = c.node AND c.node <> t.obj)),
+sc AS MATERIALIZED (SELECT x.tid, x.subj, x.pred, x.obj, x.cand,
+              SUM(ABS(eh.val + er.val - ec.val))::bigint AS score
+       FROM cand x
+       CROSS JOIN dims d
+       JOIN e{_KGE_EPOCHS} eh ON eh.node = x.subj AND eh.dim = d.dim
+       JOIN e{_KGE_EPOCHS} er ON er.node = x.pred AND er.dim = d.dim
+       JOIN e{_KGE_EPOCHS} ec ON ec.node = x.cand AND ec.dim = d.dim
+       GROUP BY x.tid, x.subj, x.pred, x.obj, x.cand),
+ts AS MATERIALIZED (SELECT tid, score AS tscore FROM sc WHERE cand = obj),
+rk AS MATERIALIZED (SELECT sc.subj, sc.pred, sc.obj,
+              (1 + SUM(CASE WHEN sc.score < ts.tscore
+                            OR (sc.score = ts.tscore AND sc.cand < sc.obj)
+                       THEN 1 ELSE 0 END))::bigint AS rank
+       FROM sc JOIN ts ON ts.tid = sc.tid
+       GROUP BY sc.subj, sc.pred, sc.obj)
+SELECT subj, pred, obj, rank,
+       CASE WHEN rank <= 3 THEN 1 ELSE 0 END AS hit3,
+       (1000000 // rank)::bigint AS inv_rank_x1e6
+FROM rk
+""")
+def kg_linkpred(spark, sf):
+    """Filtered link-prediction evaluation (Bordes et al. protocol;
+    kg_embed.link_prediction_ranks) of the trained TransE parameters:
+    for each product_country test triple, rank the true tail among all
+    entities minus known-true competitors, exact integer L1 scores,
+    ties broken by candidate name. Emits per-triple rank / Hits@3 /
+    integer reciprocal rank; the oracle replays training AND
+    evaluation in one SQL chain."""
+    from tecs_hardware_kbc_spark.operators.kg_embed import (
+        link_prediction_ranks, train_transe)
+    kb = _kg_graph(spark, sf).distinct()
+    emb = train_transe(kb, dim=_KGE_DIM, epochs=_KGE_EPOCHS,
+                       lr=_KGE_LR, margin=_KGE_MARGIN)
+    test = kb.filter(F.col("pred") == "product_country")
+    return link_prediction_ranks(test, emb, kb, dim=_KGE_DIM)
+
+
 # --------------------------------------------------------------------------
 # Driver contract
 # --------------------------------------------------------------------------

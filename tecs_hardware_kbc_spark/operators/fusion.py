@@ -30,7 +30,7 @@ it is dropped, loudly, by predicate of the data rather than sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
@@ -108,6 +108,27 @@ def kb_history(observations: DataFrame, ts_col: str = "warc_ts"
             .withColumn("valid_to", F.lead("valid_from").over(w2))
             .select("subj", "pred", "obj", "valid_from", "valid_to",
                     "n_obs"))
+
+
+def kb_asof(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time snapshot of the temporal KB: the (subj, pred, obj)
+    facts valid at instant ``ts`` under the ``kb_history`` SCD2
+    intervals — ``valid_from <= ts < valid_to`` with an open-ended
+    current interval (``valid_to`` NULL). ``ts`` may be a literal
+    string/timestamp or a Column (e.g. a per-query parameter).
+
+    This is the KB analog of the snapshot-table time travel in
+    plans/snapshots.py: re-crawl streams keep appending observations,
+    ``kb_history`` folds them into intervals once, and any historical
+    question ("what did the KB believe on date D?") is a pure filter —
+    no recomputation, pushed to the interval table's scan, prunable by
+    a valid_from partition at scale."""
+    ts_c = ts if isinstance(ts, Column) else F.lit(ts).cast("timestamp")
+    return (history
+            .filter((F.col("valid_from") <= ts_c)
+                    & (F.col("valid_to").isNull()
+                       | (F.col("valid_to") > ts_c)))
+            .select("subj", "pred", "obj", "valid_from", "n_obs"))
 
 
 def validate_kg(triples: DataFrame, schema: DataFrame) -> DataFrame:

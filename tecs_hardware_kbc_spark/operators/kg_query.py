@@ -353,3 +353,83 @@ def mine_path_rules(triples: DataFrame, min_support: int = 2,
                         prob_decimals).alias("confidence"),
                 F.round(F.col("support") / F.col("_n_pca"),
                         prob_decimals).alias("pca_confidence")))
+
+
+_BGP_AGGS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.count_distinct(c),
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    # SPARQL SAMPLE() may return any binding; a deterministic engine
+    # must pin one — the lexicographic minimum, same rule both engines.
+    "sample": F.min,
+    # SPARQL GROUP_CONCAT has no defined order either; sort the
+    # bindings so the string is deterministic under any partitioning.
+    "group_concat": lambda c: F.array_join(
+        F.array_sort(F.collect_list(c)), ";"),
+    "group_concat_distinct": lambda c: F.array_join(
+        F.array_sort(F.collect_set(c)), ";"),
+}
+
+
+def group_bgp(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              group_vars: list[str],
+              aggs: list[tuple[str, str, str]],
+              having: str | None = None,
+              order_by: list[str] | None = None,
+              limit: int | None = None,
+              **match_kwargs) -> DataFrame:
+    """SPARQL 1.1 solution-group aggregation over a basic graph
+    pattern: ``SELECT ?g (AGG(?v) AS ?alias) WHERE {...} GROUP BY ?g
+    HAVING ... ORDER BY ... LIMIT n``.
+
+    ``aggs`` entries are ``(fn, var, alias)`` with fn one of
+    count / count_distinct / sum / min / max / avg / sample /
+    group_concat / group_concat_distinct; ``var = "*"`` with count is
+    ``COUNT(*)``. Where the SPARQL spec leaves the result
+    implementation-defined (SAMPLE's choice of binding, GROUP_CONCAT's
+    order), this engine pins the deterministic reading — lexicographic
+    min / sorted concatenation — so results are reproducible under any
+    partitioning and replayable in SQL.
+
+    Shape: the BGP joins of ``match_bgp`` followed by ONE
+    map-side-combinable groupBy on the group variables; HAVING is a
+    post-aggregation filter; ORDER BY + LIMIT compiles to Spark's
+    TakeOrdered (per-partition top-n + driver merge of n·#partitions
+    rows — never a global sort), which is the 100 TB-safe reading of
+    SPARQL's solution modifiers. Callers wanting deterministic LIMIT
+    must make the ordering total (e.g. tiebreak on a key column)."""
+    sol = match_bgp(triples, patterns, **match_kwargs)
+    exprs = []
+    for fn, var, alias in aggs:
+        if fn not in _BGP_AGGS:
+            raise ValueError(f"unknown aggregate {fn!r}")
+        if var == "*":
+            if fn != "count":
+                raise ValueError(f"'*' only valid with count, got {fn}")
+            exprs.append(F.count(F.lit(1)).alias(alias))
+        else:
+            exprs.append(_BGP_AGGS[fn](F.col(var.lstrip("?")))
+                         .alias(alias))
+    if not exprs:
+        raise ValueError("at least one aggregate required")
+    out = sol.groupBy(*[v.lstrip("?") for v in group_vars]).agg(*exprs)
+    if having:
+        out = out.filter(F.expr(having))
+    if order_by:
+        keys = []
+        for e in order_by:
+            parts = e.rsplit(None, 1)
+            if len(parts) == 2 and parts[1].upper() in ("ASC", "DESC"):
+                col = F.expr(parts[0])
+                keys.append(col.desc() if parts[1].upper() == "DESC"
+                            else col.asc())
+            else:
+                keys.append(F.expr(e))
+        out = out.orderBy(*keys)
+    if limit is not None:
+        out = out.limit(limit)
+    return out

@@ -157,3 +157,58 @@ def best_threshold(swept: DataFrame) -> dict:
         return {"b": 0.0, "f1": float("nan"), "precision": float("nan"),
                 "recall": float("nan"), "tp": 0, "fp": 0, "fn": 0}
     return row[0].asDict()
+
+
+def calibration_bins(scored: DataFrame, prob_col: str = "prob",
+                     label_col: str = "correct", bins: int = 10
+                     ) -> DataFrame:
+    """Reliability diagram for extraction confidences (Zadrozny &
+    Elkan, ICML'01 histogram binning; Guo et al., ICML'17 ECE): bucket
+    predictions into ``bins`` equal-width probability bins and report,
+    per bin, the count, the mean claimed confidence, the empirical
+    accuracy, and the |gap| between them. ECE is then the
+    count-weighted mean of ``gap`` (one further aggregation); the
+    per-bin ``acc`` column IS the histogram-binning recalibration map.
+
+    A KBC pipeline that feeds marginals to a downstream consumer needs
+    this check: vote-ratio confidences are well-ordered but not
+    calibrated probabilities. One map-combinable groupBy over the
+    scored triples — O(bins) output regardless of corpus size. floor()
+    bucketing (never round) keeps the bin id engine-exact on the
+    shared double grid; prob = 1.0 folds into the top bin."""
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.floor(p * bins).cast("int"), F.lit(bins - 1))
+    y = F.col(label_col).cast("double")
+    return (scored
+            .withColumn("bin", b)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(p), 6).alias("mean_prob"),
+                 F.round(F.avg(y), 6).alias("acc"))
+            .withColumn("gap",
+                        F.round(F.abs(F.col("mean_prob") - F.col("acc")),
+                                6)))
+
+
+def expected_calibration_error(bins_df: DataFrame) -> float:
+    """Count-weighted mean |confidence − accuracy| over the output of
+    ``calibration_bins`` — a driver scalar (the bin table is O(bins))."""
+    row = (bins_df
+           .agg((F.sum(F.col("n") * F.col("gap")) / F.sum("n"))
+                .alias("ece"))
+           .collect()[0])
+    return float(row["ece"])
+
+
+def calibrate_histogram(scored: DataFrame, bins_df: DataFrame,
+                        prob_col: str = "prob", bins: int = 10
+                        ) -> DataFrame:
+    """Apply histogram-binning recalibration: replace each claimed
+    confidence with its bin's empirical accuracy (broadcast join
+    against the O(bins) map). Adds ``prob_cal``."""
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.floor(p * bins).cast("int"), F.lit(bins - 1))
+    m = bins_df.select("bin", F.col("acc").alias("prob_cal"))
+    return (scored.withColumn("bin", b)
+            .join(F.broadcast(m), "bin", "left")
+            .drop("bin"))

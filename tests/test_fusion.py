@@ -127,3 +127,31 @@ def test_fusion_partition_invariance(spark):
     b = sorted(map(tuple, fuse_triples(df.repartition(13),
                                        src_col="src").collect()))
     assert a == b
+
+
+def test_kb_asof_point_in_time(spark):
+    from datetime import datetime
+    from tecs_hardware_kbc_spark.operators.fusion import (
+        kb_asof, kb_history)
+    obs = spark.createDataFrame(
+        [("s", "p", "a", datetime(2024, 1, 1)),
+         ("s", "p", "a", datetime(2024, 1, 2)),
+         ("s", "p", "b", datetime(2024, 1, 5)),
+         ("s", "p", "a", datetime(2024, 1, 9)),
+         ("t", "p", "x", datetime(2024, 1, 7))],
+        ["subj", "pred", "obj", "warc_ts"])
+    hist = kb_history(obs)
+    # mid-first-interval: the original 'a', not the later flip
+    got = {(r["subj"], r["obj"]): r["n_obs"]
+           for r in kb_asof(hist, "2024-01-03 00:00:00").collect()}
+    assert got == {("s", "a"): 2}
+    # during the 'b' run; 't' not yet observed
+    got = {(r["subj"], r["obj"])
+           for r in kb_asof(hist, "2024-01-06 00:00:00").collect()}
+    assert got == {("s", "b")}
+    # after everything: current open-ended intervals for both facts
+    got = {(r["subj"], r["obj"])
+           for r in kb_asof(hist, "2024-02-01 00:00:00").collect()}
+    assert got == {("s", "a"), ("t", "x")}
+    # before any observation: empty KB
+    assert kb_asof(hist, "2023-12-01 00:00:00").count() == 0

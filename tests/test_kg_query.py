@@ -224,3 +224,40 @@ def test_bgp_filter_on_optional_var_uses_sql_null_semantics(kb):
                      optional=[[("?p", "product_country", "?c")]],
                      filters=["c IS NULL OR c = 'de'"]).collect()
     assert {r["p"] for r in rows} == {"p1", "p2", "p3"}
+
+
+def test_group_bgp_aggregates(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import group_bgp
+    rows = group_bgp(
+        kb, [("?p", "made_by", "?m")],
+        group_vars=["?m"],
+        aggs=[("count", "*", "n"),
+              ("count_distinct", "?p", "n_p"),
+              ("sample", "?p", "first_p"),
+              ("group_concat", "?p", "parts")]).collect()
+    got = {r["m"]: (r["n"], r["n_p"], r["first_p"], r["parts"])
+           for r in rows}
+    assert got == {"m1": (2, 2, "p1", "p1;p2"),
+                   "m2": (1, 1, "p3", "p3")}
+
+
+def test_group_bgp_having_order_limit(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import group_bgp
+    rows = group_bgp(
+        kb, [("?p", "made_by", "?m")],
+        group_vars=["?m"],
+        aggs=[("count", "*", "n")],
+        having="n >= 2",
+        order_by=["n DESC", "m ASC"],
+        limit=1).collect()
+    assert [(r["m"], r["n"]) for r in rows] == [("m1", 2)]
+
+
+def test_group_bgp_rejects_bad_agg(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import group_bgp
+    with pytest.raises(ValueError):
+        group_bgp(kb, [("?p", "made_by", "?m")], ["?m"],
+                  [("median", "?p", "x")])
+    with pytest.raises(ValueError):
+        group_bgp(kb, [("?p", "made_by", "?m")], ["?m"],
+                  [("sum", "*", "x")])

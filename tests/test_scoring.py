@@ -64,3 +64,25 @@ def test_sweep_matches_bruteforce(spark):
     brute = max((f1_at(k / 99.0) for k in range(100)),
                 key=lambda x: -1 if np.isnan(x) else x)
     assert abs(best["f1"] - brute) < 1e-9
+
+
+def test_calibration_bins_and_ece(spark):
+    from tecs_hardware_kbc_spark.operators.scoring import (
+        calibration_bins, calibrate_histogram, expected_calibration_error)
+    rows = [(0.05, 0), (0.08, 1), (0.55, 1), (0.52, 0),
+            (0.58, 1), (0.95, 1), (0.99, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, ["prob", "correct"])
+    b = {r["bin"]: (r["n"], r["mean_prob"], r["acc"], r["gap"])
+         for r in calibration_bins(df).collect()}
+    assert set(b) == {0, 5, 9}
+    assert b[0] == (2, 0.065, 0.5, 0.435)
+    n5, mp5, acc5, gap5 = b[5]
+    assert (n5, acc5) == (3, round(2 / 3, 6))
+    assert mp5 == 0.55
+    assert b[9][0] == 3 and b[9][2] == 1.0  # prob=1.0 folds into bin 9
+    ece = expected_calibration_error(calibration_bins(df))
+    expected = (2 * 0.435 + 3 * gap5 + 3 * b[9][3]) / 8
+    assert abs(ece - expected) < 1e-9
+    cal = calibrate_histogram(df, calibration_bins(df))
+    got = {r["prob"]: r["prob_cal"] for r in cal.collect()}
+    assert got[0.05] == 0.5 and got[1.0] == 1.0
