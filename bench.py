@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "doc_span_dedup",   # exact substring dedup: rolling-window + fp window
     "emb_kmeans",       # fixed-point Lloyd's: 2 iterations + final assign
     "web_pagerank",     # link harvest + 3 integer power iterations
+    # r5 lap 3: the KG-construction tail and graph ML (the tier headline)
+    "kg_e2e",           # fusion -> conflict resolution -> N-Triples
+    "kg_embed",         # TransE: 2 full-batch integer epochs
 ]
 # doc_curate (the composed funnel) is deliberately NOT a headline query:
 # its cost is the sum of components already benched above (minhash bands,
