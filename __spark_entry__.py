@@ -4086,6 +4086,66 @@ def media_features(spark, sf):
                               lambda x: F.round(x, 6))))
 
 
+@_q("kg_sameas", """
+WITH RECURSIVE t AS (
+  SELECT DISTINCT * FROM (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'X' ELSE 'E' END
+             || (doc_id % 40)::varchar AS subj,
+           'made_by' AS pred, 'M' || ((doc_id % 40) % 7)::varchar AS obj
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'X' || (doc_id % 40)::varchar, 'same_as',
+           CASE WHEN (doc_id % 40) % 4 = 0 THEN 'Y' ELSE 'E' END
+             || (doc_id % 40)::varchar
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'Y' || (doc_id % 40)::varchar, 'same_as',
+           'E' || (doc_id % 40)::varchar
+    FROM documents WHERE doc_id % 3 = 2 AND (doc_id % 40) % 4 = 0)),
+e0 AS (SELECT subj AS u, obj AS v FROM t WHERE pred = 'same_as'),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+canon AS (SELECT u AS node, least(u, min(v)) AS c FROM reach GROUP BY u)
+SELECT DISTINCT coalesce(cs.c, t.subj) AS subj, t.pred,
+                coalesce(co.c, t.obj) AS obj
+FROM t LEFT JOIN canon cs ON cs.node = t.subj
+       LEFT JOIN canon co ON co.node = t.obj
+WHERE t.pred <> 'same_as'
+""")
+def kg_sameas(spark, sf):
+    """owl:sameAs smushing (canonicalize.rewrite_sameas): the KB's own
+    identity assertions — including planted X→Y→E chains — close into
+    components via star contraction, the lexicographic-min IRI wins,
+    and every remaining triple is rewritten through the BROADCAST map
+    (the KB never shuffles for the rename); facts asserted under an
+    alias land on the canonical entity and duplicates collapse.
+    Replayed via a recursive-CTE closure + min-label canon in SQL."""
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        rewrite_sameas)
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    e = did % 40
+    facts = d.filter(did % 3 == 0).select(
+        F.concat(F.when(did % 2 == 0, F.lit("X")).otherwise(F.lit("E")),
+                 e.cast("string")).alias("subj"),
+        F.lit("made_by").alias("pred"),
+        F.concat(F.lit("M"), (e % 7).cast("string")).alias("obj"))
+    alias1 = d.filter(did % 3 == 1).select(
+        F.concat(F.lit("X"), e.cast("string")).alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.concat(F.when(e % 4 == 0, F.lit("Y")).otherwise(F.lit("E")),
+                 e.cast("string")).alias("obj"))
+    alias2 = d.filter((did % 3 == 2) & (e % 4 == 0)).select(
+        F.concat(F.lit("Y"), e.cast("string")).alias("subj"),
+        F.lit("same_as").alias("pred"),
+        F.concat(F.lit("E"), e.cast("string")).alias("obj"))
+    kb = facts.unionByName(alias1).unionByName(alias2).distinct()
+    return rewrite_sameas(kb)
+
+
 @_q("kbc_calibration", """
 WITH sc AS (
   SELECT round(0.05 + 0.9 * (('0x' || substr(md5(doc_id::varchar

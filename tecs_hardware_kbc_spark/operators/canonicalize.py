@@ -247,3 +247,39 @@ def resolve_entity_names(names: DataFrame, name_col: str = "name",
     return (base.join(comp, "norm", "left")
             .select("name", "norm",
                     F.coalesce("_c", F.col("norm")).alias("canonical")))
+
+
+def rewrite_sameas(triples: DataFrame, sameas_pred: str = "same_as",
+                   broadcast_map: bool = True) -> DataFrame:
+    """owl:sameAs smushing: take the KB's own identity assertions
+    (``pred == sameas_pred``), close them into components (undirected
+    — sameAs is symmetric/transitive), pick the lexicographic-min IRI
+    of each component as canonical, and rewrite every remaining
+    triple's subject AND object through the map. Merged entities can
+    make distinct assertions collide, so the rewrite ends in a
+    distinct — the semantics a reasoner gives owl:sameAs, materialized
+    once instead of re-derived per query.
+
+    Shape: the component map is O(#aliased entities) — orders of
+    magnitude below the KB — so with ``broadcast_map`` both rewrite
+    joins broadcast and the KB itself NEVER shuffles for the rename;
+    only the final distinct shuffles, keyed by the full triple. Star
+    contraction bounds the closure at O(log² n) rounds regardless of
+    alias-chain length."""
+    edges = (triples.filter(F.col("pred") == sameas_pred)
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    comp = connected_components(edges)
+    m = comp.select(F.col("node"), F.col("component").alias("_canon"))
+    if broadcast_map:
+        m = F.broadcast(m)
+    rest = triples.filter(F.col("pred") != sameas_pred)
+    out = (rest
+           .join(m.withColumnRenamed("node", "subj")
+                  .withColumnRenamed("_canon", "_cs"), "subj", "left")
+           .join(m.withColumnRenamed("node", "obj")
+                  .withColumnRenamed("_canon", "_co"), "obj", "left")
+           .select(F.coalesce("_cs", "subj").alias("subj"),
+                   "pred",
+                   F.coalesce("_co", "obj").alias("obj")))
+    return out.distinct()

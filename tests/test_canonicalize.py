@@ -108,3 +108,32 @@ def test_doc_alias_edges_and_canonicalize(spark):
     assert rows[("BC546", "BC547", "polarity", "NPN")] == 0.9  # max prob kept
     assert ("BC546", "BC546", "typ_gbp", "1100") in rows  # unary doc+part
     assert len(rows) == 2
+
+
+def test_rewrite_sameas_chain_and_collision(spark):
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        rewrite_sameas)
+    kb = spark.createDataFrame([
+        # facts under three names of one entity (A < X < Y)
+        ("X", "made_by", "M"),
+        ("Y", "made_by", "M"),
+        ("A", "made_by", "M"),
+        ("B", "located_in", "X"),   # alias in object position
+        ("C", "made_by", "M2"),     # untouched entity
+        # the identity chain X -> Y -> A (transitive closure required)
+        ("X", "same_as", "Y"),
+        ("Y", "same_as", "A"),
+    ], ["subj", "pred", "obj"])
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in rewrite_sameas(kb).collect()}
+    assert got == {("A", "made_by", "M"),      # three facts collapsed
+                   ("B", "located_in", "A"),   # object rewritten
+                   ("C", "made_by", "M2")}     # untouched
+
+
+def test_rewrite_sameas_no_assertions_is_identity(spark):
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        rewrite_sameas)
+    kb = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    assert [tuple(r) for r in rewrite_sameas(kb).collect()] == [
+        ("a", "p", "b")]
