@@ -4086,6 +4086,31 @@ def media_features(spark, sf):
                               lambda x: F.round(x, 6))))
 
 
+@_q("kg_construct", f"""
+WITH g AS ({_KG_GRAPH_SQL}),
+t AS (SELECT DISTINCT subj, pred, obj FROM g),
+sol AS (SELECT a.subj AS p, a.obj AS m, b.obj AS c
+        FROM t a JOIN t b ON b.subj = a.obj AND b.pred = 'located_in'
+        WHERE a.pred = 'made_by')
+SELECT p AS subj, 'origin' AS pred, c AS obj FROM sol
+UNION
+SELECT m, 'type', 'maker' FROM sol
+""")
+def kg_construct(spark, sf):
+    """SPARQL CONSTRUCT (kg_query.construct): derive a new graph from
+    BGP solutions — origin(?p, ?c) and type(?m, maker) from the
+    made_by/located_in join — one projection per template over the
+    solution set, unioned, dedup'd (a CONSTRUCT result is a graph).
+    The standard ontology-mapping / rule-materialization primitive;
+    replayed as JOIN + UNION in SQL."""
+    from tecs_hardware_kbc_spark.operators.kg_query import construct
+    kb = _kg_graph(spark, sf).distinct()
+    return construct(
+        kb,
+        [("?p", "made_by", "?m"), ("?m", "located_in", "?c")],
+        [("?p", "origin", "?c"), ("?m", "type", "maker")])
+
+
 @_q("kg_sameas", """
 WITH RECURSIVE t AS (
   SELECT DISTINCT * FROM (

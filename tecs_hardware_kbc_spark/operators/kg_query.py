@@ -433,3 +433,48 @@ def group_bgp(triples: DataFrame,
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def construct(triples: DataFrame,
+              patterns: list[tuple[str, str, str]],
+              templates: list[tuple[str, str, str]],
+              distinct: bool = True,
+              **match_kwargs) -> DataFrame:
+    """SPARQL CONSTRUCT: evaluate the WHERE clause as a basic graph
+    pattern and instantiate each template triple once per solution —
+    the standard way to DERIVE new graph from old (view materialization,
+    ontology mapping, rule application). Template terms are ``?var``
+    (must be bound by the patterns) or constants; solutions binding a
+    template variable to NULL (possible via OPTIONAL) are skipped for
+    that template, per the spec. Returns (subj, pred, obj),
+    deduplicated by default (CONSTRUCT builds a GRAPH — a set).
+
+    Shape: the BGP joins, then one projection per template unioned —
+    no further shuffle until the final distinct. Materializing a
+    derived view this way is a single pass at any scale."""
+    sol = match_bgp(triples, patterns, **match_kwargs)
+    outs = []
+    for tpl in templates:
+        if len(tpl) != 3:
+            raise ValueError(f"template must have 3 terms: {tpl}")
+        cols, guards = [], []
+        for term, alias in zip(tpl, ("subj", "pred", "obj")):
+            if _is_var(term):
+                name = term[1:]
+                if name not in sol.columns:
+                    raise ValueError(
+                        f"template var ?{name} not bound by the patterns")
+                cols.append(F.col(name).alias(alias))
+                guards.append(F.col(name).isNotNull())
+            else:
+                cols.append(F.lit(term).alias(alias))
+        t = sol
+        for g in guards:
+            t = t.filter(g)
+        outs.append(t.select(*cols))
+    if not outs:
+        raise ValueError("at least one template required")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct() if distinct else out

@@ -261,3 +261,31 @@ def test_group_bgp_rejects_bad_agg(kb):
     with pytest.raises(ValueError):
         group_bgp(kb, [("?p", "made_by", "?m")], ["?m"],
                   [("sum", "*", "x")])
+
+
+def test_construct_derives_graph(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import construct
+    got = {tuple(r) for r in construct(
+        kb,
+        [("?p", "made_by", "?m"), ("?m", "located_in", "?c")],
+        [("?p", "origin", "?c"), ("?m", "type", "maker")]).collect()}
+    assert got == {("p1", "origin", "de"), ("p2", "origin", "de"),
+                   ("p3", "origin", "jp"),
+                   ("m1", "type", "maker"), ("m2", "type", "maker")}
+
+
+def test_construct_skips_null_optional_bindings(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import construct
+    got = {tuple(r) for r in construct(
+        kb, [("?p", "made_by", "?m")],
+        [("?p", "claimed_origin", "?c")],
+        optional=[[("?p", "product_country", "?c")]]).collect()}
+    # p2 has no product_country -> NULL binding -> no derived triple
+    assert got == {("p1", "claimed_origin", "de"),
+                   ("p3", "claimed_origin", "de")}
+
+
+def test_construct_rejects_unbound_template_var(kb):
+    from tecs_hardware_kbc_spark.operators.kg_query import construct
+    with pytest.raises(ValueError):
+        construct(kb, [("?p", "made_by", "?m")], [("?p", "x", "?zz")])
