@@ -2107,6 +2107,290 @@ def web_main_content(spark, sf):
         "doc_id", "main_text", "n_blocks_kept", "n_blocks_total")
 
 
+# --- structured-data harvest (operators/structured.py) -------------------
+# WDC-style publisher-authored triples: JSON-LD islands, meta/OpenGraph
+# tags and sitemap XML synthesized deterministically from documents;
+# every regex + the from_json map semantics replayed verbatim in DuckDB.
+
+# SQL-escaped ('' = one quote inside a DuckDB string literal) twin of
+# structured.JSONLD_RGX; the Spark side uses the module constant.
+_JSONLD_ISLAND_RGX = (r'(?s)<script\s[^>]*type\s*=\s*["' + "''"
+                      r']application/ld\+json["' + "''"
+                      r'][^>]*>(.*?)</script>')
+
+
+def _jsonld_sql() -> str:
+    """DuckDB replay of structured.jsonld_triples: same island regex,
+    json_keys + json_extract_string mirror Spark's from_json
+    map<string,string> per-token text semantics (verified: numbers/
+    bools keep their JSON text, nested objects/arrays their raw
+    minified JSON, null drops)."""
+    return f"""
+WITH pages AS (SELECT
+    'https://kbc.example/doc/' || doc_id::varchar AS url,
+    '<html><head><script type="application/ld+json">' || chr(10)
+    || '{{"@context":"https://schema.org","@type":"Product",'
+    || CASE WHEN doc_id % 3 <> 0
+            THEN '"@id":"urn:part:' || doc_id::varchar || '",'
+            ELSE '' END
+    || '"name":"Part ' || doc_id::varchar || '","mpn":"MPN-'
+    || (doc_id % 97)::varchar || '","pins":' || (doc_id % 64)::varchar
+    || ',"rohs":' || CASE WHEN doc_id % 2 = 0 THEN 'true'
+                          ELSE 'false' END
+    || ',"maker":{{"name":"M' || (doc_id % 7)::varchar || '","tier":'
+    || (doc_id % 3)::varchar || '}},"note":null}}' || chr(10)
+    || '</script>'
+    || CASE WHEN doc_id % 11 = 0
+            THEN '<script type="application/ld+json">{{oops</script>'
+            ELSE '' END
+    || '</head></html>' AS html
+  FROM documents),
+isl AS (SELECT url, u.block_idx, u.raw
+  FROM (SELECT url,
+          regexp_extract_all(html, '{_JSONLD_ISLAND_RGX}', 1) AS arr
+        FROM pages) t,
+       unnest(list_transform(arr, (x, i) ->
+          struct_pack(block_idx := i - 1, raw := x))) AS s(u)),
+ok AS (SELECT url,
+    regexp_replace(regexp_replace(raw, '^\\s+', ''), '\\s+$', '') AS j,
+    block_idx
+  FROM isl),
+valid AS (SELECT url, block_idx, j,
+    coalesce(json_extract_string(j, '@id'),
+             url || '#jsonld' || block_idx::varchar) AS subj
+  FROM ok WHERE CASE WHEN json_valid(j)
+                     THEN json_type(j) = 'OBJECT' ELSE false END),
+kv AS (SELECT url, subj, k.key,
+    json_extract_string(j, k.key) AS val
+  FROM valid, unnest(json_keys(j)) AS k(key))
+SELECT url, subj, 'rdf:type' AS pred, val AS obj
+FROM kv WHERE key = '@type'
+UNION ALL
+SELECT url, subj, key AS pred, val AS obj
+FROM kv WHERE NOT starts_with(key, '@') AND val IS NOT NULL
+"""
+
+
+def _structured_pages(spark, sf):
+    """Pages carrying one well-formed JSON-LD island (blank-node
+    subject on every 3rd doc, one malformed extra island on every
+    11th) — the Spark twin of the CTE in ``_jsonld_sql``."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    island = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"Product",'),
+        F.when(did % 3 != 0,
+               F.concat(F.lit('"@id":"urn:part:'), s, F.lit('",')))
+         .otherwise(F.lit("")),
+        F.lit('"name":"Part '), s, F.lit('","mpn":"MPN-'),
+        (did % 97).cast("string"), F.lit('","pins":'),
+        (did % 64).cast("string"), F.lit(',"rohs":'),
+        F.when(did % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit(',"maker":{"name":"M'), (did % 7).cast("string"),
+        F.lit('","tier":'), (did % 3).cast("string"),
+        F.lit('},"note":null}'))
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">\n'),
+        island, F.lit("\n</script>"),
+        F.when(did % 11 == 0,
+               F.lit('<script type="application/ld+json">'
+                     "{oops</script>")).otherwise(F.lit("")),
+        F.lit("</head></html>"))
+    url = F.concat(F.lit("https://kbc.example/doc/"), s)
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+@_q("web_jsonld", _jsonld_sql())
+def web_jsonld(spark, sf):
+    """JSON-LD harvest (structured.jsonld_triples — the WDC-style
+    publisher-triple leg that precedes any NLP at crawl scale): schema
+    islands with @id subjects, minted blank-node fragments, number/
+    bool/nested-object/null value handling and malformed-island drops
+    all hash-checked against the DuckDB json_keys + json_extract_string
+    replay."""
+    from tecs_hardware_kbc_spark.operators.structured import (
+        jsonld_triples)
+    return jsonld_triples(_structured_pages(spark, sf))
+
+
+def _meta_pages_sql_html() -> str:
+    """The meta/OpenGraph page body, shared by both engines: a padded
+    title, two metas (one reversed attribute order), an empty-content
+    og:locale on every 4th doc, and key-less / content-less tags that
+    must NOT emit triples. desc is a quote/angle-sanitized text slice."""
+    return """
+    '<html><head><title> Part ' || doc_id::varchar
+    || ' —  datasheet' || chr(10) || ' catalog </title>'
+    || '<meta property="og:title" content="Part '
+    || doc_id::varchar || '">'
+    || '<meta content=''' || regexp_replace(substr(text, 1, 60),
+         '[<>"'']', ' ', 'g') || ''' name=''description''>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<meta property="og:locale" content="">'
+            ELSE '' END
+    || '<meta charset="utf-8"><meta name="keywords"></head></html>'
+"""
+
+
+def _meta_triples_sql() -> str:
+    return f"""
+WITH pages AS (SELECT 'https://kbc.example/doc/' || doc_id::varchar
+    AS url, {_meta_pages_sql_html()} AS html
+  FROM documents),
+tags AS (SELECT url, t AS tag
+  FROM pages, unnest(regexp_extract_all(html, '<meta\\s[^>]*>', 0))
+       AS s(t)),
+metas AS (SELECT url,
+    regexp_extract(tag,
+        '(?:property|name)\\s*=\\s*["'']([^"'']+)["'']', 1) AS pred,
+    regexp_extract(tag, 'content\\s*=\\s*["'']([^"'']*)["'']', 1)
+      AS obj,
+    regexp_matches(tag, 'content\\s*=\\s*["'']([^"'']*)["'']') AS has_c
+  FROM tags)
+SELECT url, url AS subj, pred, obj
+FROM metas WHERE pred <> '' AND has_c
+UNION ALL
+SELECT url, url AS subj, 'title' AS pred,
+    trim(regexp_replace(regexp_extract(html,
+        '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) AS obj
+FROM pages
+WHERE trim(regexp_replace(regexp_extract(html,
+    '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) <> ''
+"""
+
+
+@_q("web_meta_triples", _meta_triples_sql())
+def web_meta_triples(spark, sf):
+    """Meta/OpenGraph + <title> harvest (structured.meta_triples):
+    both attribute orders, empty-but-present content, key-less and
+    content-less tags dropped, title whitespace collapse — per-tag
+    pair extraction hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.structured import meta_triples
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    desc = F.regexp_replace(F.substring("text", 1, 60),
+                            "[<>\"']", " ")
+    html = F.concat(
+        F.lit("<html><head><title> Part "), s,
+        F.lit(" —  datasheet\n catalog </title>"),
+        F.lit('<meta property="og:title" content="Part '), s,
+        F.lit('">'),
+        F.lit("<meta content='"), desc, F.lit("' name='description'>"),
+        F.when(did % 4 == 0,
+               F.lit('<meta property="og:locale" content="">'))
+         .otherwise(F.lit("")),
+        F.lit('<meta charset="utf-8"><meta name="keywords">'
+              "</head></html>"))
+    url = F.concat(F.lit("https://kbc.example/doc/"), s)
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return meta_triples(pages)
+
+
+def _sitemap_sql() -> str:
+    """DuckDB replay of structured.parse_sitemaps over one synthesized
+    sitemap file per doc: a full <url> entry (priority present only
+    when doc_id%3!=0 — else the spec's 0.5 default), a loc-only entry,
+    a loc-less entry that must drop, and an index child on every 4th
+    doc (priority NULL — no spec default for children)."""
+    return """
+WITH sm AS (SELECT
+    'https://site' || (doc_id % 4)::varchar || '.example/sm-'
+      || doc_id::varchar || '.xml' AS sitemap_url,
+    '<?xml version="1.0"?><urlset>'
+    || '<url><loc> https://site' || (doc_id % 4)::varchar
+    || '.example/p' || doc_id::varchar || ' </loc><lastmod>2026-0'
+    || (1 + doc_id % 9)::varchar || '-1' || (doc_id % 9)::varchar
+    || '</lastmod><changefreq>'
+    || ['daily', 'weekly', 'monthly'][1 + doc_id % 3]
+    || '</changefreq>'
+    || CASE WHEN doc_id % 3 <> 0
+            THEN '<priority>0.' || (doc_id % 10)::varchar
+                 || '</priority>' ELSE '' END
+    || '</url>'
+    || '<url><loc>https://site' || (doc_id % 4)::varchar
+    || '.example/p' || doc_id::varchar || '-b</loc></url>'
+    || '<url><lastmod>2026-01-03</lastmod></url></urlset>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<sitemapindex><sitemap><loc>https://site0.example/'
+                 || 'child-' || doc_id::varchar
+                 || '.xml</loc><lastmod>2026-02-01T10:00:00Z'
+                 || '</lastmod></sitemap></sitemapindex>'
+            ELSE '' END AS xml
+  FROM documents),
+blk AS (
+  SELECT sitemap_url, b, false AS is_index
+  FROM sm, unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1))
+       AS s(b)
+  UNION ALL
+  SELECT sitemap_url, b, true AS is_index
+  FROM sm, unnest(regexp_extract_all(xml,
+       '(?s)<sitemap>(.*?)</sitemap>', 1)) AS s(b))
+SELECT sitemap_url,
+    regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+    CASE WHEN regexp_matches(b,
+        '<lastmod>\\s*([0-9T:+Z.-]+)\\s*</lastmod>')
+      THEN regexp_extract(b,
+        '<lastmod>\\s*([0-9T:+Z.-]+)\\s*</lastmod>', 1) END AS lastmod,
+    CASE WHEN regexp_matches(b,
+        '<changefreq>\\s*([a-z]+)\\s*</changefreq>')
+      THEN regexp_extract(b,
+        '<changefreq>\\s*([a-z]+)\\s*</changefreq>', 1)
+      END AS changefreq,
+    CASE WHEN regexp_matches(b, '<priority>\\s*([0-9.]+)\\s*</priority>')
+      THEN regexp_extract(b,
+        '<priority>\\s*([0-9.]+)\\s*</priority>', 1)::double
+      WHEN NOT is_index THEN 0.5 END AS priority,
+    is_index
+FROM blk
+WHERE regexp_extract(b, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+"""
+
+
+@_q("web_sitemap", _sitemap_sql())
+def web_sitemap(spark, sf):
+    """Sitemap XML parse (structured.parse_sitemaps — the discovery
+    complement of graph.frontier_batch): per-doc sitemap files with
+    full/partial/loc-less <url> entries plus <sitemap> index children;
+    loc trim, optional-field NULLs, the spec's 0.5 priority default
+    (url entries only) all hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.structured import (
+        parse_sitemaps)
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    host = F.concat(F.lit("https://site"), (did % 4).cast("string"),
+                    F.lit(".example"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> '), host,
+        F.lit("/p"), s, F.lit(" </loc><lastmod>2026-0"),
+        (did % 9 + 1).cast("string"), F.lit("-1"),
+        (did % 9).cast("string"),
+        F.lit("</lastmod><changefreq>"),
+        F.element_at(F.array(F.lit("daily"), F.lit("weekly"),
+                             F.lit("monthly")),
+                     (did % 3 + 1).cast("int")),
+        F.lit("</changefreq>"),
+        F.when(did % 3 != 0,
+               F.concat(F.lit("<priority>0."),
+                        (did % 10).cast("string"),
+                        F.lit("</priority>"))).otherwise(F.lit("")),
+        F.lit("</url><url><loc>"), host, F.lit("/p"), s,
+        F.lit("-b</loc></url>"
+              "<url><lastmod>2026-01-03</lastmod></url></urlset>"),
+        F.when(did % 4 == 0,
+               F.concat(F.lit("<sitemapindex><sitemap><loc>"
+                              "https://site0.example/child-"), s,
+                        F.lit(".xml</loc><lastmod>2026-02-01T10:00:00Z"
+                              "</lastmod></sitemap></sitemapindex>")))
+         .otherwise(F.lit("")))
+    sm_url = F.concat(F.lit("https://site"), (did % 4).cast("string"),
+                      F.lit(".example/sm-"), s, F.lit(".xml"))
+    sm = d.select(sm_url.alias("sitemap_url"), xml.alias("xml"))
+    return parse_sitemaps(sm)
+
+
 # --- knowledge fusion / temporal KB (operators/fusion.py) ----------------
 # One deterministic observation stream synthesized from documents: 23
 # subjects x 3 predicates with conflicting objects, md5-uniform probs,

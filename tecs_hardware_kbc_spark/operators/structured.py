@@ -1,0 +1,213 @@
+"""Structured-data harvest: JSON-LD and meta-tag triples, sitemaps.
+
+The Web Data Commons pipeline (Meusel et al. 2014) is the canonical
+web-scale KG-construction shortcut: before any NLP runs, a crawl's
+pages already carry publisher-authored structured data — schema.org
+JSON-LD islands in ``<script type="application/ld+json">`` blocks,
+OpenGraph/meta annotations, and ``<title>`` — that map directly onto
+(subj, pred, obj) triples. This module harvests all three as pure
+column expressions and feeds the same triple schema the NLP pipeline
+emits (``operators/fusion.py`` fuses both sources; the reference's
+pipeline has no structured-data leg because its corpus is datasheet
+PDFs/HTML without annotations — this is the web-corpus complement).
+
+Operators:
+
+* ``extract_jsonld`` — harvest every JSON-LD script island into
+  ``(url, block_idx, json)`` rows: one ``regexp_extract_all`` with a
+  dotall lazy body + one ``posexplode``. Malformed JSON survives to
+  this layer (the crawl is full of it) and is dropped by the parse
+  in ``jsonld_triples`` — visibly, via the ``n_bad`` metric column of
+  ``jsonld_parse_stats``.
+* ``jsonld_triples`` — flatten TOP-LEVEL JSON-LD objects into triples:
+  ``@id`` (or a deterministic ``url#jsonldN`` fragment for blank
+  nodes) becomes the subject, ``@type`` becomes an ``rdf:type``
+  triple, every other key becomes a predicate. Values keep JSON
+  scalars as text (numbers/bools exactly as engines render them) and
+  nested objects/arrays as their raw JSON text — the WDC treatment of
+  blank-node children at harvest time; a second pass over the JSON
+  column can recurse when a consumer needs depth. The parse is
+  Spark's ``from_json`` to ``map<string,string>``, whose per-token
+  text semantics were pinned against DuckDB's ``json_keys`` +
+  ``->>`` extraction (the ``web_jsonld`` driver entry replays the
+  whole harvest in SQL).
+* ``meta_triples`` — ``<meta property|name=... content=...>`` pairs
+  (both attribute orders) plus ``<title>``, subject = the page URL.
+* ``parse_sitemaps`` — sitemaps.org XML: ``<url>`` entry blocks to
+  ``(sitemap_url, loc, lastmod, changefreq, priority)`` rows and
+  ``<sitemap>`` index entries to child-sitemap rows (``is_index``) —
+  the discovery-side complement of ``graph.frontier_batch`` (robots
+  compliance lives in ``operators/robots.py``).
+
+Scale shape: every operator is one narrow projection + one explode —
+output rows are bounded by the number of islands/tags/entries on the
+page, nothing shuffles, and the scan parallelism is the page table's.
+All regexes stay in the Java-regex/RE2 common dialect so the driver
+oracles replay them verbatim in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+# JSON-LD script island; group 1 = the raw JSON body. Lazy + dotall:
+# islands are multi-line, and two islands on one page must not merge.
+# The type attribute tolerates whitespace and single/double quotes.
+JSONLD_RGX = (r'(?s)<script\s[^>]*type\s*=\s*["\']application/ld\+json'
+              r'["\'][^>]*>(.*?)</script>')
+
+# A whole <meta ...> tag (group 0); per-tag key/value extraction below
+# tolerates either attribute order.
+META_TAG_RGX = r"<meta\s[^>]*>"
+META_KEY_RGX = r'(?:property|name)\s*=\s*["\']([^"\']+)["\']'
+META_CONTENT_RGX = r'content\s*=\s*["\']([^"\']*)["\']'
+TITLE_RGX = r"(?s)<title[^>]*>(.*?)</title>"
+
+# sitemaps.org entry blocks and their child fields.
+SITEMAP_URL_BLOCK_RGX = r"(?s)<url>(.*?)</url>"
+SITEMAP_IDX_BLOCK_RGX = r"(?s)<sitemap>(.*?)</sitemap>"
+LOC_RGX = r"(?s)<loc>\s*(.*?)\s*</loc>"
+LASTMOD_RGX = r"<lastmod>\s*([0-9T:+Z.-]+)\s*</lastmod>"
+CHANGEFREQ_RGX = r"<changefreq>\s*([a-z]+)\s*</changefreq>"
+PRIORITY_RGX = r"<priority>\s*([0-9.]+)\s*</priority>"
+
+RDF_TYPE = "rdf:type"
+
+
+def extract_jsonld(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """``(url, block_idx, json)`` — one row per JSON-LD island, in page
+    order. ``json`` is the raw body (trimmed); validity is the next
+    layer's concern so bad islands stay countable."""
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(JSONLD_RGX), 1)
+    # F.trim strips only 0x20; islands are newline-padded, so regex-trim
+    ws_trim = F.regexp_replace(
+        F.regexp_replace("json", r"^\s+", ""), r"\s+$", "")
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.posexplode(blocks).alias("block_idx", "json"))
+            .withColumn("json", ws_trim))
+
+
+def jsonld_triples(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Top-level JSON-LD objects as ``(url, subj, pred, obj)`` triples.
+
+    Blank-node subjects (no ``@id``) mint ``<url>#jsonld<block_idx>``
+    — deterministic per page, so re-crawls of an unchanged page fuse
+    (``fusion.fuse_triples``) instead of multiplying. ``@type`` maps
+    to ``rdf:type``; other ``@``-keywords (``@context``, ``@graph``)
+    carry no flat-triple meaning and are dropped. Null-valued keys are
+    dropped (JSON ``null`` asserts nothing). Malformed islands parse
+    to a NULL map and vanish here; ``jsonld_parse_stats`` counts them.
+    """
+    islands = extract_jsonld(pages, url_col, html_col)
+    parsed = islands.select(
+        "url", "block_idx",
+        F.from_json("json", "map<string,string>").alias("m"))
+    parsed = parsed.filter(F.col("m").isNotNull())
+    subj = F.coalesce(
+        F.col("m")["@id"],
+        F.concat(F.col("url"), F.lit("#jsonld"),
+                 F.col("block_idx").cast("string")))
+    kv = parsed.select(
+        "url", subj.alias("subj"),
+        F.explode("m").alias("key", "val"))
+    typed = (kv.filter(F.col("key") == "@type")
+             .select("url", "subj", F.lit(RDF_TYPE).alias("pred"),
+                     F.col("val").alias("obj")))
+    plain = (kv.filter(~F.col("key").startswith("@")
+                       & F.col("val").isNotNull())
+             .select("url", "subj", F.col("key").alias("pred"),
+                     F.col("val").alias("obj")))
+    return typed.unionByName(plain)
+
+
+def jsonld_parse_stats(pages: DataFrame, url_col: str = "url",
+                       html_col: str = "html") -> DataFrame:
+    """Per-page harvest accounting: ``(url, n_blocks, n_bad)`` — the
+    visibility metric for the malformed-island drop (a crawl-quality
+    signal worth tracking per snapshot, not silently discarding)."""
+    islands = extract_jsonld(pages, url_col, html_col)
+    bad = F.from_json("json", "map<string,string>").isNull()
+    return (islands
+            .groupBy("url")
+            .agg(F.count("*").alias("n_blocks"),
+                 F.sum(bad.cast("long")).alias("n_bad")))
+
+
+def meta_triples(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """OpenGraph/meta annotations + ``<title>`` as page-subject triples.
+
+    ``(url, subj, pred, obj)`` with ``subj = url``: one row per
+    ``<meta>`` tag carrying BOTH a ``property``/``name`` key and a
+    ``content`` value (either attribute order — the pairs are pulled
+    per-tag, never across tags), plus a ``title`` triple when the page
+    has a non-empty ``<title>``. Whitespace inside title text is
+    collapsed; meta content is kept verbatim (publishers meaningfully
+    pad og:description)."""
+    tags = F.regexp_extract_all(F.col(html_col), F.lit(META_TAG_RGX), 0)
+    metas = (pages
+             .select(F.col(url_col).alias("url"),
+                     F.explode(tags).alias("tag"))
+             .select("url",
+                     F.regexp_extract("tag", META_KEY_RGX, 1).alias("pred"),
+                     F.regexp_extract("tag", META_CONTENT_RGX, 1)
+                     .alias("obj"),
+                     # regexp_extract returns '' on no-match; a content
+                     # match must be distinguished from content="".
+                     (F.col("tag").rlike(META_CONTENT_RGX)).alias("has_c"))
+             .filter((F.col("pred") != "") & F.col("has_c"))
+             .select("url", F.col("url").alias("subj"), "pred", "obj"))
+    title_txt = F.trim(F.regexp_replace(
+        F.regexp_extract(F.col(html_col), TITLE_RGX, 1), r"\s+", " "))
+    titles = (pages
+              .select(F.col(url_col).alias("url"), title_txt.alias("obj"))
+              .filter(F.col("obj") != "")
+              .select("url", F.col("url").alias("subj"),
+                      F.lit("title").alias("pred"), "obj"))
+    return metas.unionByName(titles)
+
+
+def parse_sitemaps(sitemaps: DataFrame, url_col: str = "sitemap_url",
+                   xml_col: str = "xml") -> DataFrame:
+    """sitemaps.org XML to long rows, ``<url>`` entries and
+    ``<sitemap>`` index children in one pass.
+
+    Output: ``(sitemap_url, loc, lastmod, changefreq, priority,
+    is_index)`` — ``lastmod`` stays the raw W3C datetime STRING
+    (callers ``to_date``/``to_timestamp`` at the precision they need;
+    sitemaps mix date-only and full-datetime forms), ``priority`` is
+    a double defaulting per spec to 0.5 for ``<url>`` entries (NULL
+    for index children, where the spec defines none). Entries without
+    a ``<loc>`` are dropped — the only required field. A sitemap file
+    is KB-to-50k-entries sized, so this is one narrow projection +
+    two explodes; a full crawl's sitemap set parallelizes by file like
+    ``robots.parse_robots``."""
+    def _entries(block_rgx: str, is_index: bool):
+        blocks = F.regexp_extract_all(
+            F.col(xml_col), F.lit(block_rgx), 1)
+        prio = (F.when(F.col("b").rlike(PRIORITY_RGX),
+                       F.regexp_extract("b", PRIORITY_RGX, 1)
+                       .cast("double"))
+                .otherwise(F.lit(None if is_index else 0.5)
+                           .cast("double")))
+        return (sitemaps
+                .select(F.col(url_col).alias("sitemap_url"),
+                        F.explode(blocks).alias("b"))
+                .select("sitemap_url",
+                        F.regexp_extract("b", LOC_RGX, 1).alias("loc"),
+                        F.when(F.col("b").rlike(LASTMOD_RGX),
+                               F.regexp_extract("b", LASTMOD_RGX, 1))
+                        .alias("lastmod"),
+                        F.when(F.col("b").rlike(CHANGEFREQ_RGX),
+                               F.regexp_extract("b", CHANGEFREQ_RGX, 1))
+                        .alias("changefreq"),
+                        prio.alias("priority"),
+                        F.lit(is_index).alias("is_index"))
+                .filter(F.col("loc") != ""))
+
+    return (_entries(SITEMAP_URL_BLOCK_RGX, False)
+            .unionByName(_entries(SITEMAP_IDX_BLOCK_RGX, True)))
