@@ -1780,6 +1780,50 @@ def web_links(spark, sf):
     return extract_links(_web_pages(spark, sf))
 
 
+@_q("web_triangles", f"""
+WITH {_web_graph_cte()},
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*) AS deg
+        FROM (SELECT a AS node FROM und
+              UNION ALL SELECT b FROM und) GROUP BY node),
+oe AS (SELECT u.a, u.b, da.deg AS _da, db.deg AS _db,
+              (da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b))
+                AS a_lo
+       FROM und u JOIN deg da ON u.a = da.node
+                  JOIN deg db ON u.b = db.node),
+ori AS (SELECT CASE WHEN a_lo THEN a ELSE b END AS lo,
+               CASE WHEN a_lo THEN b ELSE a END AS hi,
+               CASE WHEN a_lo THEN _db ELSE _da END AS _dh
+        FROM oe),
+wed AS (SELECT l.lo AS w, l.hi AS x, r.hi AS y
+        FROM ori l JOIN ori r ON l.lo = r.lo
+        WHERE l._dh < r._dh OR (l._dh = r._dh AND l.hi < r.hi)),
+tri0 AS (SELECT w, x, y FROM wed
+         JOIN ori o ON wed.x = o.lo AND wed.y = o.hi),
+pern AS (SELECT node, count(*) AS tri
+         FROM (SELECT w AS node FROM tri0
+               UNION ALL SELECT x FROM tri0
+               UNION ALL SELECT y FROM tri0) GROUP BY node)
+SELECT d.node, d.deg, coalesce(p.tri, 0) AS tri,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(p.tri, 0)
+                       / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg d LEFT JOIN pern p USING (node)
+""")
+def web_triangles(spark, sf):
+    """Triangle counts + local clustering coefficients
+    (graph.triangle_counts) over the web_links crawl graph: the
+    degree-ordered orientation (lo->hi by (deg, id)) that bounds wedge
+    volume at O(m^1.5) under hub skew, replayed join-for-join in
+    DuckDB — undirect, orient, wedge self-join, closing-edge join,
+    per-corner counts, coefficient division."""
+    from tecs_hardware_kbc_spark.operators.graph import (
+        extract_links, triangle_counts)
+    return triangle_counts(extract_links(_web_pages(spark, sf)))
+
+
 def _pagerank_cte(iters: int = 3, scale: int = 10 ** 12,
                   d: int = 85) -> str:
     """CTE chain replaying graph.pagerank_fixed_point over the edges
@@ -2119,6 +2163,38 @@ _JSONLD_ISLAND_RGX = (r'(?s)<script\s[^>]*type\s*=\s*["' + "''"
                       r'][^>]*>(.*?)</script>')
 
 
+def _jsonld_harvest_ctes(out: str = "jl") -> str:
+    """CTE chain replaying structured.jsonld_triples over a ``pages``
+    (url, html) CTE already in scope; the final CTE named ``out``
+    yields (url, subj, pred, obj). Shared by the standalone harvest
+    oracle and the web-KG end-to-end chain."""
+    return f"""
+isl AS (SELECT url, u.block_idx, u.raw
+  FROM (SELECT url,
+          regexp_extract_all(html, '{_JSONLD_ISLAND_RGX}', 1) AS arr
+        FROM pages) t,
+       unnest(list_transform(arr, (x, i) ->
+          struct_pack(block_idx := i - 1, raw := x))) AS s(u)),
+ok AS (SELECT url,
+    regexp_replace(regexp_replace(raw, '^\\s+', ''), '\\s+$', '') AS j,
+    block_idx
+  FROM isl),
+valid AS (SELECT url, block_idx, j,
+    coalesce(json_extract_string(j, '@id'),
+             url || '#jsonld' || block_idx::varchar) AS subj
+  FROM ok WHERE CASE WHEN json_valid(j)
+                     THEN json_type(j) = 'OBJECT' ELSE false END),
+kv AS (SELECT url, subj, k.key,
+    json_extract_string(j, k.key) AS val
+  FROM valid, unnest(json_keys(j)) AS k(key)),
+{out} AS (
+  SELECT url, subj, 'rdf:type' AS pred, val AS obj
+  FROM kv WHERE key = '@type'
+  UNION ALL
+  SELECT url, subj, key AS pred, val AS obj
+  FROM kv WHERE NOT starts_with(key, '@') AND val IS NOT NULL)"""
+
+
 def _jsonld_sql() -> str:
     """DuckDB replay of structured.jsonld_triples: same island regex,
     json_keys + json_extract_string mirror Spark's from_json
@@ -2145,29 +2221,8 @@ WITH pages AS (SELECT
             ELSE '' END
     || '</head></html>' AS html
   FROM documents),
-isl AS (SELECT url, u.block_idx, u.raw
-  FROM (SELECT url,
-          regexp_extract_all(html, '{_JSONLD_ISLAND_RGX}', 1) AS arr
-        FROM pages) t,
-       unnest(list_transform(arr, (x, i) ->
-          struct_pack(block_idx := i - 1, raw := x))) AS s(u)),
-ok AS (SELECT url,
-    regexp_replace(regexp_replace(raw, '^\\s+', ''), '\\s+$', '') AS j,
-    block_idx
-  FROM isl),
-valid AS (SELECT url, block_idx, j,
-    coalesce(json_extract_string(j, '@id'),
-             url || '#jsonld' || block_idx::varchar) AS subj
-  FROM ok WHERE CASE WHEN json_valid(j)
-                     THEN json_type(j) = 'OBJECT' ELSE false END),
-kv AS (SELECT url, subj, k.key,
-    json_extract_string(j, k.key) AS val
-  FROM valid, unnest(json_keys(j)) AS k(key))
-SELECT url, subj, 'rdf:type' AS pred, val AS obj
-FROM kv WHERE key = '@type'
-UNION ALL
-SELECT url, subj, key AS pred, val AS obj
-FROM kv WHERE NOT starts_with(key, '@') AND val IS NOT NULL
+{_jsonld_harvest_ctes()}
+SELECT url, subj, pred, obj FROM jl
 """
 
 
@@ -2233,11 +2288,11 @@ def _meta_pages_sql_html() -> str:
 """
 
 
-def _meta_triples_sql() -> str:
+def _meta_harvest_ctes(out: str = "mt") -> str:
+    """CTE chain replaying structured.meta_triples over a ``pages``
+    (url, html) CTE already in scope; ``out`` yields
+    (url, subj, pred, obj)."""
     return f"""
-WITH pages AS (SELECT 'https://kbc.example/doc/' || doc_id::varchar
-    AS url, {_meta_pages_sql_html()} AS html
-  FROM documents),
 tags AS (SELECT url, t AS tag
   FROM pages, unnest(regexp_extract_all(html, '<meta\\s[^>]*>', 0))
        AS s(t)),
@@ -2247,16 +2302,27 @@ metas AS (SELECT url,
     regexp_extract(tag, 'content\\s*=\\s*["'']([^"'']*)["'']', 1)
       AS obj,
     regexp_matches(tag, 'content\\s*=\\s*["'']([^"'']*)["'']') AS has_c
-  FROM tags)
-SELECT url, url AS subj, pred, obj
-FROM metas WHERE pred <> '' AND has_c
-UNION ALL
-SELECT url, url AS subj, 'title' AS pred,
-    trim(regexp_replace(regexp_extract(html,
-        '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) AS obj
-FROM pages
-WHERE trim(regexp_replace(regexp_extract(html,
-    '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) <> ''
+  FROM tags),
+{out} AS (
+  SELECT url, url AS subj, pred, obj
+  FROM metas WHERE pred <> '' AND has_c
+  UNION ALL
+  SELECT url, url AS subj, 'title' AS pred,
+      trim(regexp_replace(regexp_extract(html,
+          '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g'))
+        AS obj
+  FROM pages
+  WHERE trim(regexp_replace(regexp_extract(html,
+      '(?s)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) <> '')"""
+
+
+def _meta_triples_sql() -> str:
+    return f"""
+WITH pages AS (SELECT 'https://kbc.example/doc/' || doc_id::varchar
+    AS url, {_meta_pages_sql_html()} AS html
+  FROM documents),
+{_meta_harvest_ctes()}
+SELECT url, subj, pred, obj FROM mt
 """
 
 
@@ -2389,6 +2455,368 @@ def web_sitemap(spark, sf):
                       F.lit(".example/sm-"), s, F.lit(".xml"))
     sm = d.select(sm_url.alias("sitemap_url"), xml.alias("xml"))
     return parse_sitemaps(sm)
+
+
+# SQL-escaped twins of structured.py's microdata regexes ('' = one
+# quote inside a DuckDB string literal; Spark uses the module constants)
+_MD_TAG_SQL = r"<[^>]*\bitem(?:scope|prop)\b[^>]*>"
+_MD_PROP_SQL = 'itemprop\\s*=\\s*["'']([^"'']+)["'']'
+_MD_TYPE_SQL = 'itemtype\\s*=\\s*["'']([^"'']+)["'']'
+_MD_ID_SQL = 'itemid\\s*=\\s*["'']([^"'']+)["'']'
+_MD_CONTENT_SQL = 'content\\s*=\\s*["'']([^"'']*)["'']'
+_MD_SRC_SQL = '(?:src|href)\\s*=\\s*["'']([^"'']+)["'']'
+
+
+@_q("web_microdata", f"""
+WITH pages AS (SELECT
+    'https://kbc.example/doc/' || doc_id::varchar AS url,
+    '<html><body>'
+    || CASE WHEN doc_id % 6 = 0
+            THEN '<meta itemprop="orphan" content="o">' ELSE '' END
+    || '<div itemscope itemtype="https://schema.org/Product"'
+    || CASE WHEN doc_id % 4 <> 0
+            THEN ' itemid="urn:md:' || (doc_id % 37)::varchar || '"'
+            ELSE '' END
+    || '><meta itemprop="name" content="Part '
+    || (doc_id % 37)::varchar || '">'
+    || '<img itemprop="image" src="/img/' || (doc_id % 13)::varchar
+    || '.png"><span itemprop="sku">text dropped</span></div>'
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<div itemscope><meta itemprop="note" content="n'
+                 || (doc_id % 5)::varchar
+                 || '"><a itemprop="url" href="https://x.example/'
+                 || doc_id::varchar || '">t</a></div>'
+            ELSE '' END
+    || '</body></html>' AS html
+  FROM documents),
+tg AS (SELECT url, u.idx, u.tag
+  FROM (SELECT url,
+          regexp_extract_all(html, '{_MD_TAG_SQL}', 0) AS arr
+        FROM pages) t,
+       unnest(list_transform(arr, (x, i) ->
+          struct_pack(idx := i, tag := x))) AS s(u)),
+t3 AS (SELECT url, idx, tag,
+         regexp_matches(tag, '\\bitemscope\\b') AS is_scope,
+         sum(CASE WHEN regexp_matches(tag, '\\bitemscope\\b')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY url ORDER BY idx) AS scope_k
+       FROM tg),
+scopes AS (SELECT url, scope_k,
+    CASE WHEN regexp_matches(tag, '{_MD_ID_SQL}')
+         THEN regexp_extract(tag, '{_MD_ID_SQL}', 1) END AS itemid,
+    CASE WHEN regexp_matches(tag, '{_MD_TYPE_SQL}')
+         THEN regexp_extract(tag, '{_MD_TYPE_SQL}', 1) END AS itemtype
+  FROM t3 WHERE is_scope),
+props AS (SELECT url, scope_k,
+    regexp_extract(tag, '{_MD_PROP_SQL}', 1) AS pred,
+    coalesce(
+      CASE WHEN regexp_matches(tag, '{_MD_CONTENT_SQL}')
+           THEN regexp_extract(tag, '{_MD_CONTENT_SQL}', 1) END,
+      CASE WHEN regexp_matches(tag, '{_MD_SRC_SQL}')
+           THEN regexp_extract(tag, '{_MD_SRC_SQL}', 1) END) AS obj
+  FROM t3
+  WHERE NOT is_scope AND regexp_matches(tag, '{_MD_PROP_SQL}')
+        AND scope_k > 0)
+SELECT url,
+       coalesce(itemid, url || '#item' || scope_k::varchar) AS subj,
+       'rdf:type' AS pred, itemtype AS obj
+FROM scopes WHERE itemtype IS NOT NULL
+UNION ALL
+SELECT p.url,
+       coalesce(s.itemid,
+                p.url || '#item' || p.scope_k::varchar) AS subj,
+       p.pred, p.obj
+FROM props p JOIN scopes s USING (url, scope_k)
+WHERE p.obj IS NOT NULL
+""")
+def web_microdata(spark, sf):
+    """schema.org microdata harvest (structured.microdata_triples —
+    the third WDC format next to JSON-LD and meta/OpenGraph): one
+    tag-stream pass, nearest-preceding-itemscope prop binding via a
+    per-page running-count window, itemid subjects vs minted
+    url#item<k> blank nodes, content= vs src=/href= value sources,
+    text-content props and pre-scope orphans dropped — the window +
+    per-tag extraction replayed in DuckDB."""
+    from tecs_hardware_kbc_spark.operators.structured import (
+        microdata_triples)
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    k = (did % 37).cast("string")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(did % 6 == 0,
+               F.lit('<meta itemprop="orphan" content="o">'))
+         .otherwise(F.lit("")),
+        F.lit('<div itemscope itemtype="https://schema.org/Product"'),
+        F.when(did % 4 != 0,
+               F.concat(F.lit(' itemid="urn:md:'), k, F.lit('"')))
+         .otherwise(F.lit("")),
+        F.lit('><meta itemprop="name" content="Part '), k,
+        F.lit('"><img itemprop="image" src="/img/'),
+        (did % 13).cast("string"),
+        F.lit('.png"><span itemprop="sku">text dropped</span></div>'),
+        F.when(did % 3 == 0,
+               F.concat(F.lit('<div itemscope><meta itemprop="note"'
+                              ' content="n'), (did % 5).cast("string"),
+                        F.lit('"><a itemprop="url" '
+                              'href="https://x.example/'),
+                        did.cast("string"),
+                        F.lit('">t</a></div>'))).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+    url = F.concat(F.lit("https://kbc.example/doc/"),
+                   did.cast("string"))
+    return microdata_triples(
+        d.select(url.alias("url"), html.alias("html")))
+
+
+# The web-KG end-to-end: ~41 real-world entities each described by many
+# pages (doc_id % 41), JSON-LD + meta legs asserting overlapping facts,
+# a minority of pages with conflicting claims (pins +1 on every 5th doc,
+# rohs flipped on every 7th) and a blank-node minority (every 3rd doc,
+# no @id → no identity edge, stays un-merged). Functional resolution
+# must pick the majority claim via noisy-or mass.
+
+_WEB_KG_FUNCTIONAL = ["name", "mpn", "pins", "rohs",
+                      "og:title", "title", "mfr"]
+
+
+def _web_kg_sql() -> str:
+    fn = ", ".join(f"'{p}'" for p in _WEB_KG_FUNCTIONAL)
+    return f"""
+WITH base AS (SELECT doc_id, doc_id % 41 AS kk,
+                     (doc_id % 41)::varchar AS k FROM documents),
+pages AS (SELECT
+    'https://kbc.example/doc/' || doc_id::varchar AS url,
+    '<html><head><title> Part ' || k || ' —  datasheet </title>'
+    || '<meta property="og:title" content="Part ' || k || '">'
+    || '<meta name="mfr" content="M' || (kk % 7)::varchar || '">'
+    || '<script type="application/ld+json">' || chr(10)
+    || '{{"@context":"https://schema.org","@type":"Product",'
+    || CASE WHEN doc_id % 3 <> 0
+            THEN '"@id":"urn:part:' || k || '",' ELSE '' END
+    || '"name":"Part ' || k || '","mpn":"MPN-' || k || '","pins":'
+    || ((kk % 64) + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::varchar
+    || ',"rohs":'
+    || CASE WHEN (kk + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                 % 2 = 0 THEN 'true' ELSE 'false' END
+    || '}}' || chr(10) || '</script></head></html>' AS html
+  FROM base),
+{_jsonld_harvest_ctes()},
+{_meta_harvest_ctes()},
+sa AS (SELECT DISTINCT url, subj AS urn FROM jl
+       WHERE starts_with(subj, 'urn:part:')),
+canon AS (SELECT urn, least(min(url), urn) AS canon
+          FROM sa GROUP BY urn),
+nmap AS (SELECT urn AS node, canon FROM canon
+         UNION ALL
+         SELECT sa.url, c.canon FROM sa JOIN canon c USING (urn)),
+obs AS (SELECT url AS src, subj, pred, obj, 0.9::double AS prob FROM jl
+        UNION ALL
+        SELECT url AS src, subj, pred, obj, 0.6::double AS prob
+        FROM mt),
+rw AS (SELECT coalesce(ms.canon, o.subj) AS subj, o.pred,
+              coalesce(mo.canon, o.obj) AS obj, o.prob, o.src
+       FROM obs o LEFT JOIN nmap ms ON o.subj = ms.node
+                  LEFT JOIN nmap mo ON o.obj = mo.node),
+fused AS (SELECT subj, pred, obj,
+            round(1.0 - list_reduce(
+                list_prepend(1.0::DOUBLE,
+                             list_sort(list(round(prob, 6)))),
+                (a, q) -> a * (1.0 - q)), 6) AS prob,
+            count(DISTINCT src) AS n_src
+          FROM rw GROUP BY subj, pred, obj),
+rk AS (SELECT *, row_number() OVER (PARTITION BY subj, pred
+           ORDER BY prob DESC, n_src DESC, obj ASC) AS _rk,
+       count(*) OVER (PARTITION BY subj, pred) AS _n
+       FROM fused)
+SELECT subj, pred, obj, prob, n_src,
+       CASE WHEN pred IN ({fn}) THEN _n ELSE 1 END AS n_alt
+FROM rk WHERE pred NOT IN ({fn}) OR _rk = 1
+"""
+
+
+@_q("web_kg_e2e", _web_kg_sql())
+def web_kg_e2e(spark, sf):
+    """The whole web-scale KG-construction tail over STRUCTURED data in
+    one checked chain: JSON-LD + meta harvest (structured.py) →
+    owl:sameAs identity edges minted from each island's @id →
+    star-contraction identity closure (canonicalize.
+    connected_components) → broadcast canonical rewrite of every
+    subject and object → noisy-or knowledge fusion across pages
+    (fusion.fuse_triples, jsonld sources at 0.9, meta at 0.6) →
+    functional-predicate conflict resolution (fusion.
+    resolve_functional — the planted minority claims must lose to
+    majority noisy-or mass). The DuckDB replay re-runs the harvest
+    regexes, closes the planted star graphs with a group-min, and
+    replays the fold + argmax — every stage value-checked end-to-end.
+    """
+    from tecs_hardware_kbc_spark.operators.canonicalize import (
+        connected_components)
+    from tecs_hardware_kbc_spark.operators.fusion import (
+        fuse_triples, resolve_functional)
+    from tecs_hardware_kbc_spark.operators.structured import (
+        jsonld_triples, meta_triples)
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    kk = did % 41
+    k = kk.cast("string")
+    pins = ((kk % 64)
+            + F.when(did % 5 == 0, F.lit(1)).otherwise(F.lit(0)))
+    rohs = F.when((kk + F.when(did % 7 == 0, F.lit(1))
+                   .otherwise(F.lit(0))) % 2 == 0,
+                  F.lit("true")).otherwise(F.lit("false"))
+    html = F.concat(
+        F.lit("<html><head><title> Part "), k,
+        F.lit(" —  datasheet </title>"),
+        F.lit('<meta property="og:title" content="Part '), k,
+        F.lit('">'),
+        F.lit('<meta name="mfr" content="M'), (kk % 7).cast("string"),
+        F.lit('">'),
+        F.lit('<script type="application/ld+json">\n'),
+        F.lit('{"@context":"https://schema.org","@type":"Product",'),
+        F.when(did % 3 != 0,
+               F.concat(F.lit('"@id":"urn:part:'), k, F.lit('",')))
+         .otherwise(F.lit("")),
+        F.lit('"name":"Part '), k, F.lit('","mpn":"MPN-'), k,
+        F.lit('","pins":'), pins.cast("string"),
+        F.lit(',"rohs":'), rohs,
+        F.lit("}\n</script></head></html>"))
+    url = F.concat(F.lit("https://kbc.example/doc/"),
+                   did.cast("string"))
+    pages = d.select(url.alias("url"), html.alias("html"))
+    jl = jsonld_triples(pages)
+    mt = meta_triples(pages)
+    obs = (jl.withColumn("prob", F.lit(0.9))
+             .unionByName(mt.withColumn("prob", F.lit(0.6)))
+             .select(F.col("url").alias("src"),
+                     "subj", "pred", "obj", "prob"))
+    edges = (jl.filter(F.col("subj").startswith("urn:part:"))
+               .select(F.col("url").alias("src"),
+                       F.col("subj").alias("dst")).distinct())
+    comp = connected_components(edges)
+    m = F.broadcast(
+        comp.select("node", F.col("component").alias("_canon")))
+    rw = (obs
+          .join(m.withColumnRenamed("node", "subj")
+                 .withColumnRenamed("_canon", "_cs"), "subj", "left")
+          .join(m.withColumnRenamed("node", "obj")
+                 .withColumnRenamed("_canon", "_co"), "obj", "left")
+          .select(F.coalesce("_cs", "subj").alias("subj"), "pred",
+                  F.coalesce("_co", "obj").alias("obj"),
+                  "prob", "src"))
+    fused = fuse_triples(rw, src_col="src")
+    return resolve_functional(fused, _WEB_KG_FUNCTIONAL)
+
+
+# --- lexical retrieval (operators/retrieval.py) ---------------------------
+# The corpus is ~30 soup words in every doc, so rare "mk<K>" markers are
+# planted (K = doc_id % 211, tf = 1 + doc_id % 3) to give retrieval a
+# non-degenerate vocabulary; the soup words then demonstrate the
+# stopword df-cap by being dropped before the scoring join.
+
+_RETR_DOC_SQL = """
+SELECT doc_id,
+       text || repeat(' mk' || (doc_id % 211)::varchar,
+                      (1 + doc_id % 3)::int) AS text
+FROM documents
+"""
+
+_RETR_TERMS_SQL = f"""
+SELECT doc_id, t AS term
+FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+      FROM retr_docs), unnest(ws) AS s(t)
+WHERE t <> ''
+"""
+
+
+def _retr_docs(spark, sf):
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    marker = F.concat(F.lit(" mk"), (did % 211).cast("string"))
+    rep = (F.when(did % 3 == 0, marker)
+           .when(did % 3 == 1, F.concat(marker, marker))
+           .otherwise(F.concat(marker, marker, marker)))
+    return d.select("doc_id",
+                    F.concat(F.col("text"), rep).alias("text"))
+
+
+@_q("doc_tfidf", f"""
+WITH retr_docs AS ({_RETR_DOC_SQL}),
+terms AS ({_RETR_TERMS_SQL}),
+post AS (SELECT term, doc_id, count(*) AS tf
+         FROM terms GROUP BY term, doc_id),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+n AS (SELECT count(*)::double AS n FROM retr_docs)
+SELECT doc_id, term, tf, df,
+       round((1.0 + ln(tf::double))
+             * ln((SELECT n FROM n) / df::double), 6) AS weight
+FROM post JOIN dfs USING (term)
+WHERE df <= 0.3 * (SELECT n FROM n)
+""")
+def doc_tfidf(spark, sf):
+    """Sublinear TF-IDF vectors (retrieval.tfidf_vectors) over the
+    marker-planted corpus at max_df_ratio=0.3: the soup vocabulary
+    (df ~ N) is dropped by the hot-term cap before weighting, the
+    planted rare markers survive; tf, df and the (1+ln tf)*ln(N/df)
+    weight all hash-checked against the DuckDB replay."""
+    from tecs_hardware_kbc_spark.operators.retrieval import (
+        tfidf_vectors)
+    return tfidf_vectors(_retr_docs(spark, sf), max_df_ratio=0.3)
+
+
+# four queries: rare marker + capped soup terms (soup contributes
+# nothing — the cap drops it), a doubled term (qtf=2), and one
+# out-of-vocabulary query that must return zero rows.
+_RETR_QUERIES = [(1, "mk7 merge sort"), (2, "mk42 mk42 vector"),
+                 (3, "mk100 stream"), (4, "zzqx")]
+
+
+@_q("doc_bm25", f"""
+WITH retr_docs AS ({_RETR_DOC_SQL}),
+terms AS ({_RETR_TERMS_SQL}),
+post AS (SELECT term, doc_id, count(*) AS tf
+         FROM terms GROUP BY term, doc_id),
+dfs AS (SELECT term, count(*) AS df FROM post GROUP BY term
+        HAVING count(*) <= 0.5 * (SELECT count(*) FROM retr_docs)),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+consts AS (SELECT (SELECT count(*)::double FROM retr_docs) AS n,
+                  (SELECT avg(dl) FROM dls) AS avgdl),
+q AS (SELECT * FROM (VALUES {", ".join(
+        f"({i}, '{t}')" for i, t in _RETR_QUERIES)})
+      AS v(query_id, qtext)),
+qterms AS (SELECT query_id, t AS term, count(*) AS qtf
+           FROM q, unnest(string_split(trim(regexp_replace(
+               lower(qtext), '\\s+', ' ', 'g')), ' ')) AS s(t)
+           WHERE t <> '' GROUP BY query_id, t),
+contrib AS (SELECT qt.query_id, p.doc_id,
+       ln(1.0 + ((SELECT n FROM consts) - d.df + 0.5) / (d.df + 0.5))
+       * (p.tf::double * (1.2 + 1.0))
+       / (p.tf::double + 1.2 * (1.0 - 0.75
+          + 0.75 * l.dl::double / (SELECT avgdl FROM consts)))
+       * qt.qtf::double AS c
+     FROM post p JOIN qterms qt USING (term)
+                 JOIN dfs d USING (term)
+                 JOIN dls l USING (doc_id)),
+totals AS (SELECT query_id, doc_id,
+             round(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_sort(list(c))), (a, x) -> a + x), 6) AS score
+           FROM contrib GROUP BY query_id, doc_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS rank
+       FROM totals)
+SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+""")
+def doc_bm25(spark, sf):
+    """Okapi BM25 top-10 (retrieval.bm25_topk — the lexical half of
+    the similarity surface; sim_topk is the embedding half): planted
+    rare-marker queries against the inverted index, stopword-grade
+    terms dropped by the df-cap before the join, qtf=2 weighting, an
+    OOV query returning nothing, sorted-fold score totals and the
+    deterministic rank cut all hash-checked against the DuckDB
+    replay."""
+    from tecs_hardware_kbc_spark.operators.retrieval import bm25_topk
+    qs = spark.createDataFrame(_RETR_QUERIES, ["query_id", "qtext"])
+    return bm25_topk(_retr_docs(spark, sf), qs, k=10)
 
 
 # --- knowledge fusion / temporal KB (operators/fusion.py) ----------------

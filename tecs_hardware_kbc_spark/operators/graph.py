@@ -256,3 +256,77 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             .select("node",
                     F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
                     F.coalesce("in_deg", F.lit(0)).alias("in_deg")))
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """(a, b) with a < b: the simple undirected graph underlying a
+    directed edge list — reciprocal links collapse to one edge,
+    self-loops drop. One distinct keyed by the normalized pair."""
+    a = F.least("src", "dst")
+    b = F.greatest("src", "dst")
+    return (edges.select(a.alias("a"), b.alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, deg, tri, coeff): per-node triangle count and local
+    clustering coefficient over the undirected simple graph of
+    ``edges``.
+
+    Degree-ordered node-iterator (Cohen 2009 / Suri-Vassilvitskii
+    2011): orient every undirected edge from its lower-(deg, id)
+    endpoint to the higher, self-join the oriented list on the source
+    to enumerate wedges, and close each wedge against the oriented
+    edge list. The orientation is THE scale property — a degree-d hub
+    would generate O(d^2) wedges under any naive pairing, but oriented
+    out-degrees are bounded by O(sqrt(m)), so total wedge volume is
+    O(m^1.5) regardless of skew (the web graph's hub tail is exactly
+    where this bites). Three hash joins on node/pair keys, no
+    cartesian anything; ``coeff = 2*tri / (deg*(deg-1))`` with an
+    integer-exact numerator.
+    """
+    und = undirect(edges)
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # orient by (deg, node): lo -> hi
+    e = (und
+         .join(deg.withColumnRenamed("node", "a")
+               .withColumnRenamed("deg", "_da"), "a")
+         .join(deg.withColumnRenamed("node", "b")
+               .withColumnRenamed("deg", "_db"), "b"))
+    a_lo = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    ori = e.select(
+        F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_lo, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_lo, F.col("_da")).otherwise(F.col("_db")).alias("_dl"),
+        F.when(a_lo, F.col("_db")).otherwise(F.col("_da")).alias("_dh"))
+    # wedges at the lo corner: two out-neighbours x, y with x < y in
+    # the SAME (deg, id) order, so each unordered pair appears once
+    l_ = ori.select(F.col("lo").alias("w"), F.col("hi").alias("x"),
+                    F.col("_dh").alias("_dx"))
+    r_ = ori.select(F.col("lo").alias("w"), F.col("hi").alias("y"),
+                    F.col("_dh").alias("_dy"))
+    x_lo = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+    wedges = (l_.join(r_, "w")
+              .filter(x_lo)
+              .select("w", "x", "y"))
+    tri = wedges.join(
+        ori.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"])
+    per_node = (tri.select(F.explode(F.array("w", "x", "y"))
+                           .alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("tri")))
+    return (deg.join(per_node, "node", "left")
+            .select("node", "deg",
+                    F.coalesce("tri", F.lit(0)).alias("tri"))
+            .withColumn(
+                "coeff",
+                F.when(F.col("deg") >= 2,
+                       F.round(2.0 * F.col("tri")
+                               / (F.col("deg")
+                                  * (F.col("deg") - F.lit(1))), 6))
+                .otherwise(F.lit(0.0))))

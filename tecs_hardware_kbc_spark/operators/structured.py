@@ -4,8 +4,9 @@ The Web Data Commons pipeline (Meusel et al. 2014) is the canonical
 web-scale KG-construction shortcut: before any NLP runs, a crawl's
 pages already carry publisher-authored structured data — schema.org
 JSON-LD islands in ``<script type="application/ld+json">`` blocks,
+schema.org microdata (``itemscope``/``itemprop`` attributes),
 OpenGraph/meta annotations, and ``<title>`` — that map directly onto
-(subj, pred, obj) triples. This module harvests all three as pure
+(subj, pred, obj) triples. This module harvests all four as pure
 column expressions and feeds the same triple schema the NLP pipeline
 emits (``operators/fusion.py`` fuses both sources; the reference's
 pipeline has no structured-data leg because its corpus is datasheet
@@ -50,6 +51,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+from pyspark.sql.window import Window
 
 # JSON-LD script island; group 1 = the raw JSON body. Lazy + dotall:
 # islands are multi-line, and two islands on one page must not merge.
@@ -211,3 +213,82 @@ def parse_sitemaps(sitemaps: DataFrame, url_col: str = "sitemap_url",
 
     return (_entries(SITEMAP_URL_BLOCK_RGX, False)
             .unionByName(_entries(SITEMAP_IDX_BLOCK_RGX, True)))
+
+
+# Any tag carrying itemscope or itemprop, in document order. One pass:
+# scopes and props must share an ordering for the window below.
+MICRODATA_TAG_RGX = r"<[^>]*\bitem(?:scope|prop)\b[^>]*>"
+ITEMPROP_RGX = r'itemprop\s*=\s*["\']([^"\']+)["\']'
+ITEMTYPE_RGX = r'itemtype\s*=\s*["\']([^"\']+)["\']'
+ITEMID_RGX = r'itemid\s*=\s*["\']([^"\']+)["\']'
+# value of a prop tag: content= (meta-style), else src/href (media and
+# link elements). Element TEXT content is out of regex reach; prop tags
+# carrying their value as body text are dropped, visibly (see below).
+MD_CONTENT_RGX = r'content\s*=\s*["\']([^"\']*)["\']'
+MD_SRC_RGX = r'(?:src|href)\s*=\s*["\']([^"\']+)["\']'
+
+
+def microdata_triples(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Flat schema.org microdata harvest: ``(url, subj, pred, obj)``.
+
+    The third WDC format next to JSON-LD and meta/OpenGraph. Model: a
+    single tag-stream pass — every tag with ``itemscope`` or
+    ``itemprop``, in document order — then each prop attaches to the
+    NEAREST PRECEDING itemscope on its page (a running count over one
+    per-page window). Subjects: ``itemid`` when present, else a minted
+    ``url#item<k>`` (k = scope ordinal, deterministic across
+    re-crawls); ``itemtype`` adds an ``rdf:type`` triple. Prop values
+    come from ``content=`` or ``src=``/``href=`` attributes; props
+    whose value is element TEXT (out of regex reach — the documented
+    flat-harvest trade, same as WDC's own lossy common-crawl extractor
+    for malformed pages) and props before any scope are dropped.
+    Closing-tag scope nesting is intentionally NOT modelled: nested
+    scopes re-bind following props to the inner item, which matches
+    the flat reading of the dominant single-item page.
+
+    Scale shape: one extract + posexplode + ONE window per page keyed
+    by (url, tag order) — a page's microdata tags are tens-to-hundreds
+    of rows, so window partitions stay tiny at any corpus size.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(MICRODATA_TAG_RGX), 0)
+    t = (pages
+         .select(F.col(url_col).alias("url"),
+                 F.posexplode(tags).alias("idx", "tag"))
+         .withColumn("is_scope", F.col("tag").rlike(r"\bitemscope\b")))
+    w = Window.partitionBy("url").orderBy("idx")
+    t = t.withColumn(
+        "scope_k", F.sum(F.col("is_scope").cast("int")).over(w))
+    scopes = (t.filter("is_scope")
+              .select("url", "scope_k",
+                      F.when(F.col("tag").rlike(ITEMID_RGX),
+                             F.regexp_extract("tag", ITEMID_RGX, 1))
+                      .alias("itemid"),
+                      F.when(F.col("tag").rlike(ITEMTYPE_RGX),
+                             F.regexp_extract("tag", ITEMTYPE_RGX, 1))
+                      .alias("itemtype")))
+    subj = F.coalesce(
+        F.col("itemid"),
+        F.concat(F.col("url"), F.lit("#item"),
+                 F.col("scope_k").cast("string")))
+    typed = (scopes.filter(F.col("itemtype").isNotNull())
+             .select("url", subj.alias("subj"),
+                     F.lit(RDF_TYPE).alias("pred"),
+                     F.col("itemtype").alias("obj")))
+    val = F.coalesce(
+        F.when(F.col("tag").rlike(MD_CONTENT_RGX),
+               F.regexp_extract("tag", MD_CONTENT_RGX, 1)),
+        F.when(F.col("tag").rlike(MD_SRC_RGX),
+               F.regexp_extract("tag", MD_SRC_RGX, 1)))
+    props = (t.filter(~F.col("is_scope")
+                      & F.col("tag").rlike(ITEMPROP_RGX)
+                      & (F.col("scope_k") > 0))
+             .select("url", "scope_k",
+                     F.regexp_extract("tag", ITEMPROP_RGX, 1)
+                     .alias("pred"),
+                     val.alias("obj"))
+             .filter(F.col("obj").isNotNull()))
+    plain = (props.join(scopes, ["url", "scope_k"])
+             .select("url", subj.alias("subj"), "pred", "obj"))
+    return typed.unionByName(plain)

@@ -145,3 +145,53 @@ class TestSitemaps:
         assert out[0].loc == "https://a.example/sm-news.xml"
         assert out[0].lastmod == "2026-02-01T10:00:00Z"
         assert out[0].priority is None  # no spec default for children
+
+
+MICRO_PAGE = (
+    '<html><body>\n'
+    '<div itemscope itemtype="https://schema.org/Product" '
+    'itemid="urn:p9">\n'
+    '  <meta itemprop="name" content="Gizmo Nine">\n'
+    '  <img itemprop="image" src="/img/9.png">\n'
+    '  <span itemprop="sku">TEXT-VALUE-DROPPED</span>\n'
+    '</div>\n'
+    '<div itemscope>\n'
+    '  <meta itemprop="note" content="blank node">\n'
+    '  <a itemprop="url" href="https://x.example/p9">link</a>\n'
+    '</div>\n'
+    '</body></html>')
+
+
+class TestMicrodata:
+    def test_scopes_props_and_minting(self, spark):
+        from tecs_hardware_kbc_spark.operators.structured import (
+            microdata_triples)
+        out = microdata_triples(_pages(spark, [("u1", MICRO_PAGE)]))
+        got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+        assert got == {
+            ("urn:p9", "rdf:type", "https://schema.org/Product"),
+            ("urn:p9", "name", "Gizmo Nine"),
+            ("urn:p9", "image", "/img/9.png"),
+            # scope 2 has no itemid -> minted url#item2, no itemtype
+            # -> no type triple; href supplies the url prop value
+            ("u1#item2", "note", "blank node"),
+            ("u1#item2", "url", "https://x.example/p9"),
+            # text-content prop (sku) is dropped — documented trade
+        }
+
+    def test_prop_before_any_scope_dropped(self, spark):
+        from tecs_hardware_kbc_spark.operators.structured import (
+            microdata_triples)
+        p = _pages(spark, [
+            ("u2", '<meta itemprop="orphan" content="x">'
+                   '<div itemscope itemid="urn:a"></div>'
+                   '<meta itemprop="kept" content="y">')])
+        got = {(r.subj, r.pred, r.obj)
+               for r in microdata_triples(p).collect()}
+        assert got == {("urn:a", "kept", "y")}
+
+    def test_no_microdata_no_rows(self, spark):
+        from tecs_hardware_kbc_spark.operators.structured import (
+            microdata_triples)
+        p = _pages(spark, [("u3", "<html><p>plain</p></html>")])
+        assert microdata_triples(p).count() == 0
