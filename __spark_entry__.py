@@ -1872,6 +1872,60 @@ def web_pagerank(spark, sf):
     return pagerank_fixed_point(edges, iters=3)
 
 
+def _hits_cte(iters: int = 2, scale: int = 10 ** 9) -> str:
+    """CTE chain replaying graph.hits_fixed_point over the edges CTE:
+    both half-steps of each iteration unrolled, each L1-snap's divisor
+    a scalar subquery guarded exactly like the Spark side's
+    ``int(coalesce(sum, 1)) or 1`` (NULL on an empty aggregate -> 1,
+    zero total mass -> 1). All arithmetic integral; DuckDB widens the
+    sums to HUGEINT, a superset of the int64 values Spark produces, so
+    every quotient is identical. Final hub in h{iters}, final auth in
+    a{iters - 1}."""
+    steps = []
+    for i in range(iters):
+        steps.append(f"""
+ar{i} AS (SELECT e.dst AS node, sum(h.hub) AS a
+          FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS (SELECT n.node, coalesce(r.a, 0) * {scale}
+           // greatest((SELECT coalesce(sum(a), 1) FROM ar{i}), 1)
+           AS auth
+         FROM nodes n LEFT JOIN ar{i} r USING (node)),
+hr{i} AS (SELECT e.src AS node, sum(a.auth) AS h
+          FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+h{i + 1} AS (SELECT n.node, coalesce(r.h, 0) * {scale}
+               // greatest((SELECT coalesce(sum(h), 1) FROM hr{i}), 1)
+               AS hub
+             FROM nodes n LEFT JOIN hr{i} r USING (node))""")
+    return f"""
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+h0 AS (SELECT node,
+              {scale} // (SELECT count(*) FROM nodes) AS hub
+       FROM nodes),
+{",".join(steps)}"""
+
+
+@_q("web_hits", f"""
+WITH {_web_graph_cte()}, {_hits_cte(2)}
+SELECT h2.node, h2.hub::bigint AS hub, a1.auth::bigint AS auth
+FROM h2 JOIN a1 USING (node)
+""")
+def web_hits(spark, sf):
+    """Deterministic HITS hubs-and-authorities (graph.hits_fixed_point)
+    over the web_links crawl graph: 2 iterations of the
+    auth<-sum(hub), hub<-sum(auth) mutual recursion on the exact 1e9
+    integer grid (L1 snaps in place of the classic L2 — rank-preserving
+    and replayable), every half-step and both normalization scalars
+    unrolled as DuckDB CTEs and hash-checked. Complements web_pagerank:
+    PageRank scores endorsement flow, HITS separates the hub role
+    (links out to good authorities) from the authority role — the
+    directory-page vs content-page split a crawler's seed selection
+    uses."""
+    from tecs_hardware_kbc_spark.operators.graph import (
+        extract_links, hits_fixed_point)
+    return hits_fixed_point(extract_links(_web_pages(spark, sf)), iters=2)
+
+
 def _anchor_text_sql() -> str:
     """DuckDB replay of graph.extract_anchor_texts: full anchor tags
     harvested, href/text split per tag, target resolved + canonicalized,

@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     # r5 lap 3: the KG-construction tail and graph ML (the tier headline)
     "kg_e2e",           # fusion -> conflict resolution -> N-Triples
     "kg_embed",         # TransE: 2 full-batch integer epochs
+    # r5 lap 4: the structured-data KG leg + retrieval + graph analytics
+    "web_kg_e2e",       # jsonld/meta harvest -> sameAs CC -> fuse -> resolve
+    "doc_bm25",         # inverted index + BM25 top-k, df-capped
+    "web_triangles",    # degree-ordered triangle counting
 ]
 # doc_curate (the composed funnel) is deliberately NOT a headline query:
 # its cost is the sum of components already benched above (minhash bands,

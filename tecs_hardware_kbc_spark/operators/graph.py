@@ -286,7 +286,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     cartesian anything; ``coeff = 2*tri / (deg*(deg-1))`` with an
     integer-exact numerator.
     """
-    und = undirect(edges)
+    # und feeds the degree count and both sides of the orientation
+    # join; ori feeds the wedge self-join twice plus the closing-edge
+    # join — pin both so the upstream link harvest runs once, not 5x
+    und = undirect(edges).localCheckpoint()
     deg = (und.select(F.col("a").alias("node"))
            .unionByName(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -302,7 +305,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_lo, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_lo, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(a_lo, F.col("_da")).otherwise(F.col("_db")).alias("_dl"),
-        F.when(a_lo, F.col("_db")).otherwise(F.col("_da")).alias("_dh"))
+        F.when(a_lo, F.col("_db")).otherwise(F.col("_da")).alias("_dh")
+    ).localCheckpoint()
     # wedges at the lo corner: two out-neighbours x, y with x < y in
     # the SAME (deg, id) order, so each unordered pair appears once
     l_ = ori.select(F.col("lo").alias("w"), F.col("hi").alias("x"),
@@ -330,3 +334,73 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                                / (F.col("deg")
                                   * (F.col("deg") - F.lit(1))), 6))
                 .otherwise(F.lit(0.0))))
+
+
+HITS_SCALE = 1_000_000_000  # see overflow bound in hits_fixed_point
+
+
+def hits_fixed_point(edges: DataFrame, iters: int = 2,
+                     scale: int = HITS_SCALE) -> DataFrame:
+    """Deterministic HITS (Kleinberg 1999): (node, hub, auth) with both
+    scores exact longs on the ``scale``-unit grid.
+
+    Same cross-engine-replay discipline as ``pagerank_fixed_point``:
+    the classic L2 normalization needs a sqrt, which no integer grid
+    survives, so each half-step L1-normalizes instead —
+    ``x' = x * scale // sum(x)`` — which preserves the ranking (HITS
+    convergence does not depend on the norm chosen) and keeps every
+    quantity a non-negative long. Overflow bound, valid at ANY graph
+    size: a node's raw half-step sum adds each counterpart's score at
+    most once, so it is bounded by the TOTAL mass, which the L1 snap
+    pins at <= ``scale``; hence the only multiplication satisfies
+    ``x * scale <= scale^2 = 1e18 < 2^63`` (the reason the HITS grid
+    is 1e9, not PageRank's 1e12 — PageRank never multiplies two
+    mass-sized quantities). Update per iteration:
+
+        auth(v) = sum of hub(u) over edges u -> v, then L1-snap
+        hub(u)  = sum of auth(v) over edges u -> v, then L1-snap
+
+    Per iteration: two node-keyed joins + two map-combined groupBys +
+    two O(1) driver scalars (the L1 sums — the same O(iters) driver
+    state as PageRank's dangling mass). Nodes with no in-links (or no
+    out-links) hold score 0 after the first half-step, as in the
+    reference formulation."""
+    e = edges.select("src", "dst").cache()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().cache())
+    n_nodes = nodes.count()
+    hub = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        hub = hub.localCheckpoint(eager=True)
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy("dst").agg(F.sum("hub").alias("a")))
+        a_sum = int(a_raw.agg(
+            F.coalesce(F.sum("a"), F.lit(1)).alias("s"))
+            .collect()[0]["s"]) or 1
+        # SQL `div` (not _idiv): the product reaches scale^2 = 1e18,
+        # past the 2^53 exactness window of _idiv's double path
+        auth = (nodes
+                .join(a_raw, nodes.node == a_raw.dst, "left")
+                .select("node",
+                        F.coalesce(F.col("a"), F.lit(0)).alias("_x"))
+                .select("node",
+                        F.expr(f"_x * {scale}L div {a_sum}L")
+                        .alias("auth"))
+                .localCheckpoint(eager=True))
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.sum("auth").alias("h")))
+        h_sum = int(h_raw.agg(
+            F.coalesce(F.sum("h"), F.lit(1)).alias("s"))
+            .collect()[0]["s"]) or 1
+        hub = (nodes
+               .join(h_raw, nodes.node == h_raw.src, "left")
+               .select("node",
+                       F.coalesce(F.col("h"), F.lit(0)).alias("_x"))
+               .select("node",
+                       F.expr(f"_x * {scale}L div {h_sum}L")
+                       .alias("hub")))
+    return (hub.join(auth, "node")
+            .select("node", "hub", "auth"))

@@ -101,7 +101,9 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     query workload is KB-to-MB); the postings shuffle once on term,
     already their groupBy layout. max_df_ratio drops stopword-grade
     terms before the join — see module docstring."""
-    post = postings(docs, id_col, text_col)
+    # the index feeds df counts, doc lengths AND the scoring join —
+    # pin it so the corpus is tokenized once, not once per consumer
+    post = postings(docs, id_col, text_col).localCheckpoint()
     n_docs = float(docs.count())
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])

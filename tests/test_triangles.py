@@ -61,3 +61,48 @@ class TestTriangles:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _hits_reference(edges, iters=2, scale=10**9):
+    """Independent plain-python integer HITS for cross-checking."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        a_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            a_raw[v] += hub[u]
+        s = sum(a_raw.values()) or 1
+        auth = {v: a_raw[v] * scale // s for v in nodes}
+        h_raw = {v: 0 for v in nodes}
+        for u, v in edges:
+            h_raw[u] += auth[v]
+        s = sum(h_raw.values()) or 1
+        hub = {v: h_raw[v] * scale // s for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+class TestHits:
+    EDGES = [("h1", "a1"), ("h1", "a2"), ("h1", "a3"), ("h2", "a1"),
+             ("h2", "a2"), ("h3", "a1"), ("a1", "h1"), ("x", "y")]
+
+    def test_matches_reference_exactly(self, spark):
+        from tecs_hardware_kbc_spark.operators.graph import (
+            hits_fixed_point)
+        out = hits_fixed_point(_edges(spark, self.EDGES), iters=2)
+        got = {r.node: (r.hub, r.auth) for r in out.collect()}
+        assert got == _hits_reference(self.EDGES, iters=2)
+
+    def test_hub_authority_separation(self, spark):
+        from tecs_hardware_kbc_spark.operators.graph import (
+            hits_fixed_point)
+        out = hits_fixed_point(_edges(spark, self.EDGES), iters=2)
+        got = {r.node: r for r in out.collect()}
+        # h1 links all three authorities -> top hub; a1 is cited by
+        # all three hubs -> top authority
+        assert max(got.values(), key=lambda r: r.hub).node == "h1"
+        assert max(got.values(), key=lambda r: r.auth).node == "a1"
+        # pure hubs have zero authority mass and vice versa
+        assert got["h2"].auth == 0
+        assert got["a2"].hub == 0
