@@ -13,6 +13,7 @@ pytest suite holds the strong P/R >= 0.95 gate for those).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,8 +36,44 @@ def _q(name: str, sql: str | None = None):
     return deco
 
 
+_FANOUT_CAP_BYTES = 64 << 20
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader with input-skew fan-out (guide §2.5).
+
+    The driver writes each table as ONE parquet file with ONE row group
+    per ~1M rows, and a row group cannot be split: a scan of such a file
+    runs as a single task no matter how many cores the session has, so
+    every expression over e.g. ``documents`` (50k rows, 5.9 MB, 1 row
+    group at sf1.0) was serialized onto one core. For small tables the
+    cure is a round-robin repartition to the session's parallelism right
+    after the read — the shuffle moves only a few MB and unlocks an
+    up-to-#cores speedup on the per-row work that dominates these
+    queries (md5 rolling windows, regex harvests, HOF kernels).
+
+    Scale-adaptive, not tuned to local[32]: the fan-out fires only when
+    the file layout yields fewer scan splits than
+    ``defaultParallelism`` AND the table is at most 64 MB on disk (the
+    shuffle is then guaranteed cheaper than the starved scan). A
+    production-scale table — many files / row groups, more splits than
+    cores — is returned untouched."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        if os.path.isfile(path):
+            size, n_files = os.path.getsize(path), 1
+        else:
+            sizes = [os.path.getsize(os.path.join(path, f))
+                     for f in os.listdir(path) if f.endswith(".parquet")]
+            size, n_files = sum(sizes), len(sizes)
+    except OSError:
+        return df
+    parallelism = spark.sparkContext.defaultParallelism
+    # <=64 MB and fewer (128 MB-bound) splits than cores: starved scan
+    if size <= _FANOUT_CAP_BYTES and n_files < parallelism:
+        df = df.repartition(parallelism)
+    return df
 
 
 # --------------------------------------------------------------------------
