@@ -132,45 +132,55 @@ def pagerank_fixed_point(edges: DataFrame, iters: int = 3,
     nodes (no out-links) spread their mass uniformly; duplicate edges
     should be pre-deduped (``extract_links`` already is).
 
-    Per iteration: one src-keyed join + one dst-keyed map-combined
-    aggregation + one driver scalar. The edge and degree tables are
-    cached once; ranks are O(#nodes) and never collected."""
-    e = edges.select(F.col("src"), F.col("dst")).cache()
-    nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select(F.col("dst").alias("node")))
-             .distinct().cache())
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
-    n_nodes = nodes.count()
+    Plan shape (r6, guide §2.4): the out-degree is attached to the node
+    table ONCE (the old per-iteration ranks-deg join is gone) and the
+    edge list is cached hash-partitioned AND sorted on ``src`` — the
+    layout the per-iteration join wants — so each power iteration pays
+    exactly one Exchange (the dst-keyed inflow aggregation, map-side
+    combined). ``share`` inherits the node partitioning of the
+    checkpointed ranks through the alias, and the inflow table comes
+    out of its groupBy already hash(dst)-partitioned for the rank
+    update join. Ranks are O(#nodes) and never collected; the dangling
+    mass stays an O(1) driver scalar per iteration."""
+    e = (edges.select(F.col("src"), F.col("dst"))
+         .repartition("src").sortWithinPartitions("src").cache())
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    nd = (e.select(F.col("src").alias("node"))
+          .union(e.select(F.col("dst").alias("node")))
+          .distinct()
+          .join(deg, F.col("node") == deg["src"], "left")
+          .select("node", "out_deg")
+          .localCheckpoint(eager=True))
+    n_nodes = nd.count()
     base = scale // n_nodes
     d, rem = int(damping_pct), 100 - int(damping_pct)
 
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    ranks = nd.select("node", "out_deg",
+                      F.lit(base).cast("long").alias("rank"))
     for _ in range(iters):
         # one materialization per iteration (values unchanged): the
         # dangling scalar and the shares both read it, and without a
         # checkpoint the next round's plan re-executes every prior
         # round — O(iters^2)
-        with_deg = ranks.join(deg, ranks.node == deg.src, "left") \
-            .select(ranks.node, "rank", "out_deg") \
-            .localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=True)
         # O(1) driver scalar per iteration: total rank of dangling nodes
-        dang = with_deg.filter(F.col("out_deg").isNull()) \
+        dang = ranks.filter(F.col("out_deg").isNull()) \
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s")) \
             .collect()[0]["s"]
-        share = with_deg.filter(F.col("out_deg").isNotNull()).select(
+        share = ranks.filter(F.col("out_deg").isNotNull()).select(
             F.col("node").alias("src"),
             _idiv(F.col("rank"), F.col("out_deg")).alias("share"))
         inflow = (e.join(share, "src")
                   .groupBy("dst").agg(F.sum("share").alias("inflow")))
         dang_per = int(dang) // n_nodes
-        ranks = nodes.join(inflow, nodes.node == inflow.dst, "left") \
+        ranks = nd.join(inflow, nd["node"] == inflow["dst"], "left") \
             .select(
-                "node",
+                "node", "out_deg",
                 _idiv(F.lit(rem * base)
                       + F.lit(d) * (F.coalesce(F.col("inflow"), F.lit(0))
                                     + F.lit(dang_per)),
                       F.lit(100)).alias("rank"))
-    return ranks
+    return ranks.select("node", "rank")
 
 
 # full anchor tag; group 1 = href target, group 2 = the anchor text

@@ -100,25 +100,54 @@ def _sgn(x: Column) -> Column:
             .cast("long"))
 
 
+def _init_embedding_arrays(triples: DataFrame, dim: int = DEFAULT_DIM,
+                           salt: str = "emb") -> DataFrame:
+    """``init_embeddings`` pivoted to one array row per node:
+    (node, vals: array<long>) with ``vals[d]`` exactly the long-format
+    ``val`` at (node, d). Same hash expression per element, so the two
+    forms are value-identical by construction."""
+    nodes = (triples.select(F.col("subj").alias("node"))
+             .unionByName(triples.select(F.col("obj").alias("node")))
+             .unionByName(triples.select(F.col("pred").alias("node")))
+             .distinct())
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def _v(d):
+        h = _h32(F.concat(F.col("node"), F.lit(":"),
+                          d.cast("string"), F.lit(":" + salt)))
+        return (h % (2 * EMB_RANGE + 1)) - EMB_RANGE
+
+    return nodes.select("node", F.transform(dims, _v).alias("vals"))
+
+
 def train_transe(triples: DataFrame, dim: int = DEFAULT_DIM,
                  epochs: int = 2, lr: int = DEFAULT_LR,
                  margin: int = DEFAULT_MARGIN) -> DataFrame:
     """Full-batch TransE with L1 distance; returns the long-format
     parameter table (node, dim, val) after ``epochs`` updates.
 
-    Per epoch: join each distinct triple (plus its seeded corrupted
-    tail) to the current parameters once per dimension, window-sum the
-    per-triple L1 distances, keep the margin violators, and apply ONE
-    groupBy(node, dim) of summed {-lr, 0, +lr} subgradients. The
-    parameter table is cached per epoch so the unrolled plan does not
-    recompute prior epochs."""
+    r6 (guide §2.3/§2.4): parameters are carried as ONE array row per
+    node instead of (node, dim) long rows. Each epoch then joins the
+    triple table to the parameters four times on ``node`` alone (dim x
+    fewer join rows over the wire), the per-triple L1 margin test is an
+    array ``aggregate`` in the same projection — the per-``tid`` window
+    (a full extra shuffle of the exploded rows) is GONE — and only the
+    {-lr,0,+lr} subgradient contributions are exploded to (node, dim)
+    for the map-side-combinable groupBy sum. Every value is the same
+    integer arithmetic as the long form, so the result is bit-identical
+    (the kg_embed oracle replays the long form and still matches).
+
+    Scale story unchanged: everything shuffles on ``node``; the
+    (node, dim) explode now happens only on margin violators, and the
+    delta re-assembly groupBy carries dim longs per node."""
     ents = entity_index(triples).cache()
     n_ent = ents.count()  # driver scalar: vocabulary size only
 
     t = (triples.select("subj", "pred", "obj").distinct()
          .withColumn("tid", F.concat_ws(":", "subj", "pred", "obj")))
 
-    emb = init_embeddings(triples, dim)
+    zero = F.lit(0).cast("long")
+    emb = _init_embedding_arrays(triples, dim)
     for e in range(1, epochs + 1):
         neg_id = _h32(F.concat_ws(
             ":", "subj", "pred", "obj", F.lit(str(e)), F.lit("neg"))
@@ -127,54 +156,62 @@ def train_transe(triples: DataFrame, dim: int = DEFAULT_DIM,
               .join(ents, ents["id"] == F.col("_nid"))
               .select("tid", "subj", "pred", "obj",
                       ents["node"].alias("neg")))
-        dims = F.explode(F.sequence(F.lit(0), F.lit(dim - 1)))
-        long = te.select("*", dims.alias("dim"))
 
         def _e(alias):
             return emb.select(F.col("node").alias(f"_{alias}_n"),
-                              F.col("dim").alias(f"_{alias}_d"),
-                              F.col("val").alias(f"{alias}_v"))
+                              F.col("vals").alias(f"{alias}_v"))
 
-        j = (long
-             .join(_e("h"), (F.col("_h_n") == F.col("subj"))
-                   & (F.col("_h_d") == F.col("dim")))
-             .join(_e("r"), (F.col("_r_n") == F.col("pred"))
-                   & (F.col("_r_d") == F.col("dim")))
-             .join(_e("t"), (F.col("_t_n") == F.col("obj"))
-                   & (F.col("_t_d") == F.col("dim")))
-             .join(_e("n"), (F.col("_n_n") == F.col("neg"))
-                   & (F.col("_n_d") == F.col("dim")))
-             .select("tid", "subj", "pred", "obj", "neg", "dim",
-                     (F.col("h_v") + F.col("r_v") - F.col("t_v"))
-                     .alias("dp"),
-                     (F.col("h_v") + F.col("r_v") - F.col("n_v"))
-                     .alias("dn")))
-        w = Window.partitionBy("tid")
-        g = (j.withColumn("_pos", F.sum(F.abs("dp")).over(w))
-             .withColumn("_neg", F.sum(F.abs("dn")).over(w))
-             .filter(F.col("_pos") + F.lit(int(margin)) > F.col("_neg"))
-             .withColumn("sp", _sgn(F.col("dp")))
-             .withColumn("sn", _sgn(F.col("dn"))))
+        dp = F.zip_with(F.zip_with("h_v", "r_v", lambda a, b: a + b),
+                        "t_v", lambda a, b: a - b)
+        dn = F.zip_with(F.zip_with("h_v", "r_v", lambda a, b: a + b),
+                        "n_v", lambda a, b: a - b)
+        j = (te
+             .join(_e("h"), F.col("_h_n") == F.col("subj"))
+             .join(_e("r"), F.col("_r_n") == F.col("pred"))
+             .join(_e("t"), F.col("_t_n") == F.col("obj"))
+             .join(_e("n"), F.col("_n_n") == F.col("neg"))
+             .select("tid", "subj", "pred", "obj", "neg",
+                     dp.alias("dp"), dn.alias("dn")))
+        l1 = lambda arr: F.aggregate(  # noqa: E731
+            arr, zero, lambda a, x: a + F.abs(x))
+        g = (j.filter(l1(F.col("dp")) + F.lit(int(margin))
+                      > l1(F.col("dn")))
+             .withColumn("sp", F.transform("dp", _sgn))
+             .withColumn("sn", F.transform("dn", _sgn)))
         lr_ = F.lit(int(lr))
-        contrib = (
-            g.select(F.col("subj").alias("node"), "dim",
-                     (lr_ * (F.col("sn") - F.col("sp"))).alias("d"))
-            .unionByName(g.select(
-                F.col("pred").alias("node"), "dim",
-                (lr_ * (F.col("sn") - F.col("sp"))).alias("d")))
-            .unionByName(g.select(
-                F.col("obj").alias("node"), "dim",
-                (lr_ * F.col("sp")).alias("d")))
-            .unionByName(g.select(
-                F.col("neg").alias("node"), "dim",
-                (-lr_ * F.col("sn")).alias("d"))))
-        delta = contrib.groupBy("node", "dim").agg(F.sum("d").alias("d"))
-        emb = (emb.join(delta, ["node", "dim"], "left")
-               .select("node", "dim",
-                       (F.col("val") + F.coalesce(F.col("d"), F.lit(0)))
-                       .alias("val"))
+        # per-role per-dim deltas as arrays (no explosion yet)
+        hp = F.zip_with("sn", "sp", lambda a, b: lr_ * (a - b))
+        g = g.select(
+            "subj", "pred", "obj", "neg", hp.alias("d_hr"),
+            F.transform("sp", lambda s: lr_ * s).alias("d_t"),
+            F.transform("sn", lambda s: -lr_ * s).alias("d_n"))
+
+        def _expl(node_col, arr_col):
+            return g.select(
+                F.col(node_col).alias("node"),
+                F.posexplode(F.col(arr_col)).alias("dim", "d"))
+
+        contrib = (_expl("subj", "d_hr")
+                   .unionByName(_expl("pred", "d_hr"))
+                   .unionByName(_expl("obj", "d_t"))
+                   .unionByName(_expl("neg", "d_n")))
+        delta = (contrib.groupBy("node", "dim").agg(F.sum("d").alias("d"))
+                 .groupBy("node")
+                 .agg(F.map_from_entries(
+                     F.collect_list(F.struct("dim", "d"))).alias("_m")))
+        upd = F.zip_with(
+            "vals",
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.coalesce(
+                            F.element_at(F.col("_m"), i), zero)),
+            lambda a, b: a + b)
+        emb = (emb.join(delta, "node", "left")
+               .select("node",
+                       F.when(F.col("_m").isNull(), F.col("vals"))
+                       .otherwise(upd).alias("vals"))
                .localCheckpoint(eager=False))
-    return emb
+    return emb.select(
+        "node", F.posexplode("vals").alias("dim", "val"))
 
 
 def score_tails(test: DataFrame, emb: DataFrame, all_triples: DataFrame,

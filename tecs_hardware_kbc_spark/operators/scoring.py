@@ -120,27 +120,97 @@ def tune_and_score(entities: DataFrame, gold: DataFrame,
     slice, P/R/F1 reported on the disjoint test slice at that threshold.
 
     Returns ``(b, {"b": b, "dev": {...}, "test": {...}})``. A relation with
-    no dev gold falls back to ``default_threshold`` (dev stats NaN)."""
+    no dev gold falls back to ``default_threshold`` (dev stats NaN).
+
+    r6 (guide §1/§2.4): both slices are swept in ONE job — the
+    ``threshold_sweep`` pipeline runs grouped by the dev/test flag
+    (``doc`` is part of ENTITY_KEY, so slicing commutes with the
+    entity-level max and the gold join), the 2 x grid result rows come
+    back in a single collect, and the dev argmax + nearest-b test-row
+    selection happen on the driver. Halves the per-relation sweep jobs
+    versus the two filtered ``threshold_sweep`` + collect chains while
+    producing identical numbers."""
     keys = ("tp", "fp", "fn", "precision", "recall", "f1")
+    g = float(grid - 1)
     dev_mask = is_dev_doc(F.col("doc"))
-    dev_best = best_threshold(threshold_sweep(
-        entities.filter(dev_mask), gold.filter(dev_mask),
-        grid=grid, gold_total=dev_total))
+    if dev_total is None or test_total is None:
+        totals = {
+            bool(r["_dev"]): r["n"]
+            for r in gold.select(*ENTITY_KEY).dropDuplicates()
+            .groupBy(dev_mask.alias("_dev"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+        dev_total = totals.get(True, 0) if dev_total is None else dev_total
+        test_total = (totals.get(False, 0) if test_total is None
+                      else test_total)
+    ent = (
+        entities.groupBy(*ENTITY_KEY).agg(F.max("prob").alias("prob"))
+        .join(gold.select(*ENTITY_KEY).dropDuplicates()
+              .withColumn("_gold", F.lit(1)), ENTITY_KEY, "left")
+        .withColumn("_gold", F.coalesce("_gold", F.lit(0)))
+        .withColumn("_dev", dev_mask)
+    )
+    bucket = (F.ceil(F.col("prob") * g) - 1).cast("int")
+    per_bucket = (
+        ent.withColumn("k_max", F.least(bucket, F.lit(grid - 1)))
+        .filter(F.col("k_max") >= 0)
+        .groupBy("_dev", "k_max")
+        .agg(F.sum("_gold").alias("tp_at"),
+             F.sum(1 - F.col("_gold")).alias("fp_at"))
+    )
+    spark = entities.sparkSession
+    ks = (spark.range(grid).select(F.col("id").cast("int").alias("k"))
+          .crossJoin(spark.range(2).select(
+              (F.col("id") == 0).alias("_dev"))))
+    w = (Window.partitionBy("_dev").orderBy(F.desc("k"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    gold_tot = (F.when(F.col("_dev"), F.lit(dev_total))
+                .otherwise(F.lit(test_total)))
+    swept = (
+        ks.join(per_bucket,
+                (ks["_dev"] == per_bucket["_dev"])
+                & (ks["k"] == per_bucket["k_max"]), "left")
+        .select(ks["_dev"].alias("_dev"), "k",
+                F.coalesce("tp_at", F.lit(0)).alias("tp_at"),
+                F.coalesce("fp_at", F.lit(0)).alias("fp_at"))
+        .withColumn("tp", F.sum("tp_at").over(w))
+        .withColumn("fp", F.sum("fp_at").over(w))
+        .withColumn("fn", gold_tot - F.col("tp"))
+        .withColumn("b", F.col("k") / g)
+        .withColumn("precision",
+                    F.when(F.col("tp") + F.col("fp") > 0,
+                           F.col("tp") / (F.col("tp") + F.col("fp"))))
+        .withColumn("recall",
+                    F.when(F.col("tp") + F.col("fn") > 0,
+                           F.col("tp") / (F.col("tp") + F.col("fn"))))
+        .withColumn(
+            "f1",
+            F.when(F.col("precision") + F.col("recall") > 0,
+                   2 * F.col("precision") * F.col("recall")
+                   / (F.col("precision") + F.col("recall"))))
+        .select("_dev", "b", "tp", "fp", "fn",
+                "precision", "recall", "f1")
+    )
+    rows = swept.collect()
+    dev_rows = [r for r in rows if r["_dev"]]
+    test_rows = [r for r in rows if not r["_dev"]]
+    ranked = sorted((r for r in dev_rows if r["f1"] is not None),
+                    key=lambda r: (-r["f1"], r["b"]))
+    if ranked:
+        dev_best = {k: ranked[0][k] for k in keys + ("b",)}
+    else:
+        dev_best = {"b": 0.0, "f1": float("nan"),
+                    "precision": float("nan"), "recall": float("nan"),
+                    "tp": 0, "fp": 0, "fn": 0}
     f1 = dev_best["f1"]
     b = float(dev_best["b"]) if f1 == f1 else default_threshold
     # Snap b to the nearest grid value so the fallback threshold (which may
     # sit exactly midway between grid points) selects exactly one row; order
     # by distance so any residual tie resolves deterministically.
     b = round(b * (grid - 1)) / (grid - 1)
-    test_rows = (
-        threshold_sweep(entities.filter(~dev_mask), gold.filter(~dev_mask),
-                        grid=grid, gold_total=test_total)
-        .orderBy(F.abs(F.col("b") - b).asc(), F.col("b").asc())
-        .limit(1)
-        .collect()
-    )
-    test = ({k: test_rows[0][k] for k in keys} if test_rows
-            else dict.fromkeys(keys, float("nan")))
+    test = (
+        {k: min(test_rows,
+                key=lambda r: (abs(r["b"] - b), r["b"]))[k] for k in keys}
+        if test_rows else dict.fromkeys(keys, float("nan")))
     return b, {"b": b, "dev": {k: dev_best[k] for k in keys}, "test": test}
 
 
