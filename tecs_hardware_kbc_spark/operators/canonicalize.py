@@ -55,7 +55,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     per phase instead of two (plus the join), which matters because
     star-contraction rounds on converging graphs are stage-latency
     bound, not byte bound (r6: CC over the 33k-edge web_kg identity
-    graph dropped ~2x)."""
+    graph dropped ~2x).
+
+    The output is NOT deduplicated: different u can emit the same
+    (v, m) pair, but ``_small_star`` computes a per-u MIN — which is
+    duplicate-insensitive — and ends in its own dropDuplicates, so
+    paying an Exchange here to collapse collisions bought nothing
+    (r6: one round = 3 exchanges, down from 5). Output volume is
+    bounded by |e| (one row per oriented edge) either way."""
     from pyspark.sql.window import Window
 
     sym = e.unionByName(e.select(F.col("v").alias("u"),
@@ -65,26 +72,31 @@ def _large_star(e: DataFrame) -> DataFrame:
     return (sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .dropDuplicates())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each node u over its SMALLER neighbors Γ(u): connect every
     member of Γ(u) + {u} to m = min Γ(u).  Compresses the short side of
     every path onto the local minimum.  Same one-Exchange window shape
-    as ``_large_star``; the (u, m) self-edge is emitted by the row that
-    holds the minimum neighbor (exactly one per u), replacing the
-    groupBy + unionByName of the join formulation."""
+    as ``_large_star``; the (u, m) self-edge is emitted by the rows
+    that hold the minimum neighbor, replacing the groupBy + unionByName
+    of the join formulation.
+
+    Duplicate-tolerant (r6): the input arrives straight from
+    ``_large_star`` without a dedup — the per-u MIN is unchanged by
+    duplicate rows, duplicate (v, m) emissions (including multiple
+    v == m rows each emitting (u, m)) collapse in the single
+    dropDuplicates here, which doubles as the round's edge-set dedup
+    that ``connected_components``' signature test requires."""
     from pyspark.sql.window import Window
 
     d = (e.select(F.greatest("u", "v").alias("u"),
                   F.least("u", "v").alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .dropDuplicates())
+         .filter(F.col("u") != F.col("v")))
     w = Window.partitionBy("u")
     dm = d.withColumn("m", F.min("v").over(w))
-    # each row emits (v, m); the row with v == m additionally emits
+    # each row emits (v, m); a row with v == m additionally emits
     # (u, m) — struct(NULL) pairs are filtered out by the flatten
     pairs = F.array(
         F.struct(F.col("v").alias("a"), F.col("m").alias("b")),

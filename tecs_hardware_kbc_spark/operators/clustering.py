@@ -99,8 +99,14 @@ def kmeans_fixed_point(emb: DataFrame, k: int = 8, iters: int = 2,
     O(k x dim) ints. At 10^12 rows the assignment is embarrassingly
     parallel and the update shuffle carries k x dim longs per
     partition."""
-    q = emb.select(F.col(id_col).alias("vec_id"),
-                   quantize(F.col(vec_col), scale, shift).alias("xf"))
+    # pin the quantized vectors: init, every assign/update round and the
+    # final assignment all scan q, and without the checkpoint each of the
+    # iters+2 actions re-reads the source and re-quantizes (guide §5 —
+    # reused AND non-trivial to recompute). O(rows x dim) ints, the same
+    # footprint every consumer materializes anyway.
+    q = (emb.select(F.col(id_col).alias("vec_id"),
+                    quantize(F.col(vec_col), scale, shift).alias("xf"))
+         .localCheckpoint(eager=True))
     seeds = q.orderBy("vec_id").limit(k).collect()
     cents: dict[int, list[int]] = {
         i: [int(v) for v in r["xf"]] for i, r in enumerate(seeds)}

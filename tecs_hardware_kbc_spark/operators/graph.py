@@ -359,10 +359,15 @@ def hits_fixed_point(edges: DataFrame, iters: int = 2,
     survives, so each half-step L1-normalizes instead —
     ``x' = x * scale // sum(x)`` — which preserves the ranking (HITS
     convergence does not depend on the norm chosen) and keeps every
-    quantity a non-negative long. Overflow bound, valid at ANY graph
-    size: a node's raw half-step sum adds each counterpart's score at
-    most once, so it is bounded by the TOTAL mass, which the L1 snap
-    pins at <= ``scale``; hence the only multiplication satisfies
+    quantity a non-negative long. Edges must be pre-deduped (as
+    ``extract_links`` output is, and as ``pagerank_fixed_point``
+    already requires): the overflow bound below counts each
+    counterpart's score ONCE per neighbor, so a multigraph input could
+    push a raw sum past ``scale`` and silently wrap. Overflow bound on
+    a simple edge list, independent of graph size: a node's raw
+    half-step sum adds each counterpart's score at most once, so it is
+    bounded by the TOTAL mass, which the L1 snap pins at <= ``scale``;
+    hence the only multiplication satisfies
     ``x * scale <= scale^2 = 1e18 < 2^63`` (the reason the HITS grid
     is 1e9, not PageRank's 1e12 — PageRank never multiplies two
     mass-sized quantities). Update per iteration:

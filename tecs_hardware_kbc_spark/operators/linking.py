@@ -32,26 +32,37 @@ def doc_of_url(col=None) -> Column:
     return F.upper(F.regexp_replace(stem, r"\.html$", ""))
 
 
-def to_entities(scored: DataFrame, attribute: str) -> DataFrame:
-    """(doc, part, attribute, value, prob): dedup with max-prob per entity."""
-    return (
-        scored.select(
-            doc_of_url().alias("doc"),
-            F.upper("p_span").alias("part"),
-            F.lit(attribute).alias("attribute"),
-            F.col("a_span").alias("value"),
-            F.col("prob"),
-        )
-        .groupBy("doc", "part", "attribute", "value")
-        .agg(F.max("prob").alias("prob"))
+def to_entities(scored: DataFrame, attribute: str,
+                dedup: bool = True) -> DataFrame:
+    """(doc, part, attribute, value, prob): dedup with max-prob per entity.
+
+    ``dedup=False`` skips the groupBy when a downstream step (alias
+    widening, canonicalization, the sweep's entity-level max) ends in
+    the same (ENTITY_KEY, max(prob)) aggregation anyway — max over a
+    superset with duplicates is the same max, and stacking three
+    identical-key groupBys paid three Exchanges per relation for one
+    semantic dedup (guide §2.4)."""
+    out = scored.select(
+        doc_of_url().alias("doc"),
+        F.upper("p_span").alias("part"),
+        F.lit(attribute).alias("attribute"),
+        F.col("a_span").alias("value"),
+        F.col("prob"),
     )
+    if not dedup:
+        return out
+    return (out.groupBy("doc", "part", "attribute", "value")
+            .agg(F.max("prob").alias("prob")))
 
 
-def widen_aliases(entities: DataFrame, parts_by_doc: DataFrame) -> DataFrame:
+def widen_aliases(entities: DataFrame, parts_by_doc: DataFrame,
+                  dedup: bool = True) -> DataFrame:
     """Add implied entities: for each (doc, part) with len(part) >= 4, every
     doc-known part that starts with it. ``parts_by_doc`` is (doc, part) —
     small (one row per doc-part pair from the gold/gazetteer link), so the
-    prefix theta-join is broadcast."""
+    prefix theta-join is broadcast. ``dedup=False`` as in
+    ``to_entities`` (callers that canonicalize afterwards re-aggregate
+    on the same key)."""
     implied = (
         entities.filter(F.length("part") >= 4)
         .join(
@@ -63,11 +74,11 @@ def widen_aliases(entities: DataFrame, parts_by_doc: DataFrame) -> DataFrame:
         .select("doc", F.col("known_part").alias("part"), "attribute",
                 "value", "prob")
     )
-    return (
-        entities.unionByName(implied)
-        .groupBy("doc", "part", "attribute", "value")
-        .agg(F.max("prob").alias("prob"))
-    )
+    out = entities.unionByName(implied)
+    if not dedup:
+        return out
+    return (out.groupBy("doc", "part", "attribute", "value")
+            .agg(F.max("prob").alias("prob")))
 
 
 def resolve_unit(df: DataFrame, unit_tokens: list[str], row_ngrams: DataFrame,
@@ -127,7 +138,8 @@ def _fmt(mag: Column) -> Column:
 
 def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
                    row_spread2: DataFrame, row_spread5: DataFrame,
-                   neighbor_cells: DataFrame | None = None) -> DataFrame:
+                   neighbor_cells: DataFrame | None = None,
+                   dedup: bool = True) -> DataFrame:
     """Unary opamp candidates -> (doc, doc, attribute, value, prob) with
     unit-resolved display magnitudes: gain in kHz, current in µA with ±
     doubling (one entity for the literal, one for the doubled swing)."""
@@ -152,17 +164,20 @@ def opamp_entities(scored: DataFrame, attribute: str, row_ngrams: DataFrame,
         values = F.when(pm, F.array(_fmt(mag), _fmt(mag * 2))) \
                   .otherwise(F.array(_fmt(mag)))
 
-    return (
+    out = (
         df.select(
             doc_of_url().alias("doc"),
             F.lit(attribute).alias("attribute"),
             F.explode(values).alias("value"),
             "prob",
         )
-        .select("doc", F.col("doc").alias("part"), "attribute", "value", "prob")
-        .groupBy("doc", "part", "attribute", "value")
-        .agg(F.max("prob").alias("prob"))
+        .select("doc", F.col("doc").alias("part"), "attribute", "value",
+                "prob")
     )
+    if not dedup:
+        return out
+    return (out.groupBy("doc", "part", "attribute", "value")
+            .agg(F.max("prob").alias("prob")))
 
 
 def entities_to_triples(entities: DataFrame) -> DataFrame:

@@ -106,12 +106,19 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     post = postings(docs, id_col, text_col).localCheckpoint()
     n_docs = float(docs.count())
     dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
-    dfs = term_df(post, id_col).filter(
-        F.col("df") <= max_df_ratio * n_docs)
+    # degenerate corpora (all-empty texts) have no postings: avg(dl) is
+    # NULL — scoring would be empty anyway, so guard the scalar
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0] or 1.0)
     qterms = (doc_terms(queries, qid_col, qtext_col)
               .groupBy(qid_col, "term")
-              .agg(F.count(F.lit(1)).alias("qtf")))
+              .agg(F.count(F.lit(1)).alias("qtf"))
+              .localCheckpoint())
+    # df counts are corpus-vocabulary sized — restrict them to the query
+    # vocabulary BEFORE broadcasting (the query workload is the KB-sized
+    # table; the full term_df table is not broadcastable at web scale)
+    dfs = (term_df(post, id_col)
+           .filter(F.col("df") <= max_df_ratio * n_docs)
+           .join(F.broadcast(qterms.select("term").distinct()), "term"))
     idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     tf = F.col("tf").cast("double")

@@ -185,14 +185,22 @@ def relation_candidates(rel: str, mentions: dict[str, DataFrame],
 
 def relation_entities(rel: str, scored: DataFrame,
                       ctx: dict[str, DataFrame],
-                      parts_by_doc: DataFrame | None) -> DataFrame:
+                      parts_by_doc: DataFrame | None,
+                      dedup: bool = True) -> DataFrame:
+    """``dedup=False`` when a canonicalize step follows: its final
+    (ENTITY_KEY, max(prob)) aggregation subsumes the per-stage dedups,
+    so the intermediate groupBys (and their Exchanges) are skipped."""
     if rel in UNARY_RELATIONS:
         return opamp_entities(scored, rel, ctx["row"], ctx["row2"],
                               ctx["row5"],
-                              neighbor_cells=ctx.get("ncell"))
-    ents = to_entities(scored, rel)
+                              neighbor_cells=ctx.get("ncell"),
+                              dedup=dedup)
+    ents = to_entities(scored, rel, dedup=False)
     if parts_by_doc is not None:
-        ents = widen_aliases(ents, parts_by_doc)
+        ents = widen_aliases(ents, parts_by_doc, dedup=dedup)
+    elif dedup:
+        ents = (ents.groupBy("doc", "part", "attribute", "value")
+                .agg(F.max("prob").alias("prob")))
     return ents
 
 
@@ -382,7 +390,8 @@ def run_kbc(
         def process(rel: str):
             scored = (multitask_scored[rel] if supervision == "multitask"
                       else score_relation(rel))
-            ents = relation_entities(rel, scored, ctx, parts_by_doc)
+            ents = relation_entities(rel, scored, ctx, parts_by_doc,
+                                     dedup=components is None)
             if components is not None:
                 ents = canonicalize_entities(ents, components, on="doc")
             ents = ents.localCheckpoint()
@@ -522,7 +531,7 @@ def run_kbc_checkpointed(spark: SparkSession, pages_path: str,
             inputs=[f"mentions_{mention_key.get(rel, rel)}", "mentions_part"],
         )
         ents = canonicalize_entities(
-            relation_entities(rel, scored, ctx, parts_by_doc),
+            relation_entities(rel, scored, ctx, parts_by_doc, dedup=False),
             components, on="doc",
         ).persist()
         if gold_ents is not None:
