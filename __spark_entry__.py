@@ -5217,7 +5217,11 @@ def kg_linkpred(spark, sf):
     evaluation in one SQL chain."""
     from tecs_hardware_kbc_spark.operators.kg_embed import (
         link_prediction_ranks, train_transe)
-    kb = _kg_graph(spark, sf).distinct()
+    # kb feeds training, the test slice AND the filtered-candidate
+    # anti-join; without the checkpoint each consumer re-runs the whole
+    # KG-graph derivation (the audit counted 110 Exchanges in this
+    # entry's unrolled plan from the repeated subtree)
+    kb = _kg_graph(spark, sf).distinct().localCheckpoint(eager=False)
     emb = train_transe(kb, dim=_KGE_DIM, epochs=_KGE_EPOCHS,
                        lr=_KGE_LR, margin=_KGE_MARGIN)
     test = kb.filter(F.col("pred") == "product_country")

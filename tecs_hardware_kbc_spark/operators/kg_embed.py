@@ -143,8 +143,12 @@ def train_transe(triples: DataFrame, dim: int = DEFAULT_DIM,
     ents = entity_index(triples).cache()
     n_ent = ents.count()  # driver scalar: vocabulary size only
 
+    # pin the distinct triple table: every epoch re-reads it, and without
+    # the checkpoint each epoch re-runs the (possibly deep) lineage that
+    # produced ``triples`` — e.g. the whole KG-graph derivation
     t = (triples.select("subj", "pred", "obj").distinct()
-         .withColumn("tid", F.concat_ws(":", "subj", "pred", "obj")))
+         .withColumn("tid", F.concat_ws(":", "subj", "pred", "obj"))
+         .localCheckpoint(eager=False))
 
     zero = F.lit(0).cast("long")
     emb = _init_embedding_arrays(triples, dim)

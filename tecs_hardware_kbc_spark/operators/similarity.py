@@ -35,6 +35,32 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact top-k per query in two levels (guide §2.5): first a
+    row_number over (query_id, input partition) prunes each scan
+    partition to its local k candidates per query — the global top-k
+    is necessarily a subset of the union of per-partition top-ks — so
+    the final per-query window ranks <= k x #partitions survivors
+    instead of the full scored set. A single window partitioned by
+    query_id alone funnels EVERY scored row of a query through one
+    task (a handful of hot queries = a handful of busy cores at any
+    corpus size); the pruning level spreads that work across the
+    (query_id, partition) grid. The partition id only selects a
+    superset, so the result is identical under any physical split."""
+    ord_ = (F.desc("cosine"), F.asc("vec_id"))
+    local = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(
+            Window.partitionBy("query_id", "_p").orderBy(*ord_)))
+        .filter(F.col("_r") <= k).drop("_p", "_r"))
+    w = Window.partitionBy("query_id").orderBy(*ord_)
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -45,12 +71,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("vec_id")) \
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_pairs(emb: DataFrame, threshold: float, id_col: str = "vec_id",
@@ -157,12 +178,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -202,9 +218,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
-    )
+    # no (query, vec) duplicates possible: the probe masks are distinct,
+    # so the probed buckets of one query are distinct, and each corpus
+    # vector lives in exactly one bucket
+    return _topk_per_query(scored, k)
