@@ -2775,7 +2775,10 @@ def web_kg_e2e(spark, sf):
     url = F.concat(F.lit("https://kbc.example/doc/"),
                    did.cast("string"))
     pages = d.select(url.alias("url"), html.alias("html"))
-    jl = jsonld_triples(pages)
+    # the JSON-LD harvest feeds BOTH the observation union and the
+    # identity-edge derivation (and through it every CC round's lineage)
+    # — pin it so the regex+from_json pass over the corpus runs once
+    jl = jsonld_triples(pages).localCheckpoint(eager=False)
     mt = meta_triples(pages)
     obs = (jl.withColumn("prob", F.lit(0.9))
              .unionByName(mt.withColumn("prob", F.lit(0.6)))

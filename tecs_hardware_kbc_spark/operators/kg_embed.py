@@ -140,9 +140,6 @@ def train_transe(triples: DataFrame, dim: int = DEFAULT_DIM,
     Scale story unchanged: everything shuffles on ``node``; the
     (node, dim) explode now happens only on margin violators, and the
     delta re-assembly groupBy carries dim longs per node."""
-    ents = entity_index(triples).cache()
-    n_ent = ents.count()  # driver scalar: vocabulary size only
-
     # pin the distinct triple table: every epoch re-reads it, and without
     # the checkpoint each epoch re-runs the (possibly deep) lineage that
     # produced ``triples`` — e.g. the whole KG-graph derivation
@@ -150,8 +147,16 @@ def train_transe(triples: DataFrame, dim: int = DEFAULT_DIM,
          .withColumn("tid", F.concat_ws(":", "subj", "pred", "obj"))
          .localCheckpoint(eager=False))
 
+    # entity index and init are derived from the PINNED table, not the
+    # raw input: distinct(subj ∪ obj [∪ pred]) over t equals the same
+    # set over ``triples`` (t is the distinct triple projection), so the
+    # values are identical — but the caller's lineage (e.g. the whole
+    # KG-graph derivation) now runs once, not three times
+    ents = entity_index(t).cache()
+    n_ent = ents.count()  # driver scalar: vocabulary size only
+
     zero = F.lit(0).cast("long")
-    emb = _init_embedding_arrays(triples, dim)
+    emb = _init_embedding_arrays(t, dim)
     for e in range(1, epochs + 1):
         neg_id = _h32(F.concat_ws(
             ":", "subj", "pred", "obj", F.lit(str(e)), F.lit("neg"))
