@@ -55,23 +55,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Scale-adaptive, not tuned to local[32]: the fan-out fires only when
     the file layout yields fewer scan splits than
     ``defaultParallelism`` AND the table is at most 64 MB on disk (the
-    shuffle is then guaranteed cheaper than the starved scan). A
+    shuffle is then guaranteed cheaper than the starved scan) AND the
+    rows are WIDE (>= 64 compressed bytes/row — text blobs, embedding
+    vectors): per-row kernels (md5 rolling windows, regex harvests, HOF
+    chains) dominate those tables, so the few-MB shuffle buys an
+    up-to-#cores speedup. Narrow relational rows (lineitem/orders/events
+    are ~20 B/row) are scan+agg-shaped: their aggregations and joins
+    shuffle on their own keys anyway, and a prepended round-robin
+    exchange of millions of rows is pure cost (measured: q1 0.20->0.85s,
+    q3 0.79->1.38s at sf0.1 with an unconditional fan-out). A
     production-scale table — many files / row groups, more splits than
     cores — is returned untouched."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     try:
         if os.path.isfile(path):
-            size, n_files = os.path.getsize(path), 1
+            files, n_files = [path], 1
         else:
-            sizes = [os.path.getsize(os.path.join(path, f))
+            files = [os.path.join(path, f)
                      for f in os.listdir(path) if f.endswith(".parquet")]
-            size, n_files = sum(sizes), len(sizes)
-    except OSError:
+            n_files = len(files)
+        size = sum(os.path.getsize(f) for f in files)
+        import pyarrow.parquet as pq
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
         return df
     parallelism = spark.sparkContext.defaultParallelism
-    # <=64 MB and fewer (128 MB-bound) splits than cores: starved scan
-    if size <= _FANOUT_CAP_BYTES and n_files < parallelism:
+    # <=64 MB, fewer (128 MB-bound) splits than cores, wide rows
+    if (size <= _FANOUT_CAP_BYTES and n_files < parallelism
+            and n_rows > 0 and size / n_rows >= 64):
         df = df.repartition(parallelism)
     return df
 
