@@ -116,14 +116,15 @@ def jsonld_triples(pages: DataFrame, url_col: str = "url",
     kv = parsed.select(
         "url", subj.alias("subj"),
         F.explode("m").alias("key", "val"))
-    typed = (kv.filter(F.col("key") == "@type")
-             .select("url", "subj", F.lit(RDF_TYPE).alias("pred"),
-                     F.col("val").alias("obj")))
-    plain = (kv.filter(~F.col("key").startswith("@")
-                       & F.col("val").isNotNull())
-             .select("url", "subj", F.col("key").alias("pred"),
-                     F.col("val").alias("obj")))
-    return typed.unionByName(plain)
+    # one pass over the exploded map (a typed/plain branch UNION would
+    # re-evaluate the from_json + explode lineage once per branch): @type
+    # maps to rdf:type, other non-@ keys pass through with non-null values
+    keep = (F.col("key") == "@type") | (
+        ~F.col("key").startswith("@") & F.col("val").isNotNull())
+    pred = (F.when(F.col("key") == "@type", F.lit(RDF_TYPE))
+            .otherwise(F.col("key")))
+    return kv.filter(keep).select(
+        "url", "subj", pred.alias("pred"), F.col("val").alias("obj"))
 
 
 def jsonld_parse_stats(pages: DataFrame, url_col: str = "url",
@@ -151,26 +152,35 @@ def meta_triples(pages: DataFrame, url_col: str = "url",
     collapsed; meta content is kept verbatim (publishers meaningfully
     pad og:description)."""
     tags = F.regexp_extract_all(F.col(html_col), F.lit(META_TAG_RGX), 0)
-    metas = (pages
-             .select(F.col(url_col).alias("url"),
-                     F.explode(tags).alias("tag"))
-             .select("url",
-                     F.regexp_extract("tag", META_KEY_RGX, 1).alias("pred"),
-                     F.regexp_extract("tag", META_CONTENT_RGX, 1)
-                     .alias("obj"),
-                     # regexp_extract returns '' on no-match; a content
-                     # match must be distinguished from content="".
-                     (F.col("tag").rlike(META_CONTENT_RGX)).alias("has_c"))
-             .filter((F.col("pred") != "") & F.col("has_c"))
-             .select("url", F.col("url").alias("subj"), "pred", "obj"))
+
+    # per-tag key/value extraction inside the array (one page pass): keep
+    # tags carrying BOTH a key and a content match. regexp_extract returns
+    # '' on no-match, so a content match must be distinguished from
+    # content="" via the rlike flag.
+    def _kv(tag):
+        return F.struct(
+            F.regexp_extract(tag, META_KEY_RGX, 1).alias("pred"),
+            F.regexp_extract(tag, META_CONTENT_RGX, 1).alias("obj"),
+            tag.rlike(META_CONTENT_RGX).alias("_has_c"))
+
+    metas = F.filter(F.transform(tags, _kv),
+                     lambda s: (s["pred"] != "") & s["_has_c"])
     title_txt = F.trim(F.regexp_replace(
         F.regexp_extract(F.col(html_col), TITLE_RGX, 1), r"\s+", " "))
-    titles = (pages
-              .select(F.col(url_col).alias("url"), title_txt.alias("obj"))
-              .filter(F.col("obj") != "")
-              .select("url", F.col("url").alias("subj"),
-                      F.lit("title").alias("pred"), "obj"))
-    return metas.unionByName(titles)
+    title = F.filter(
+        F.array(F.struct(F.lit("title").alias("pred"),
+                         title_txt.alias("obj"),
+                         F.lit(True).alias("_has_c"))),
+        lambda s: s["obj"] != "")
+    # meta rows + the optional title row from ONE projection and ONE
+    # explode — the metas/titles UNION re-built the html and re-scanned it
+    # per branch (two page passes; the title regex is the expensive one)
+    return (pages
+            .select(F.col(url_col).alias("url"),
+                    F.explode(F.concat(metas, title)).alias("kv"))
+            .select("url", F.col("url").alias("subj"),
+                    F.col("kv.pred").alias("pred"),
+                    F.col("kv.obj").alias("obj")))
 
 
 def parse_sitemaps(sitemaps: DataFrame, url_col: str = "sitemap_url",
