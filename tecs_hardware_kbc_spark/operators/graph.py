@@ -106,15 +106,24 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     endpoints are canonicalized, so the node space matches
     ``urls.canonicalize_url`` keys used everywhere else in the crawl
     loop."""
+    from tecs_hardware_kbc_spark.operators.augment import _let
+
     raw = pages.select(
         canonicalize_url(F.col(url_col)).alias("src"),
         F.explode(F.regexp_extract_all(F.col(html_col),
                                        F.lit(HREF_RGX), F.lit(1)))
         .alias("href"),
         F.col(url_col).alias("_page"))
+    # _let-bind the resolved href: canonicalize_url references its
+    # argument ~15 times inside CASE WHEN branches, and codegen's
+    # subexpression elimination does not hoist subtrees nested under
+    # conditionals — composed directly, the whole resolve_href regex
+    # chain re-ran once per branch (measured 6.8s -> 1.3s for the 253k-
+    # edge harvest at the 50k-page probe, local[32])
     edges = raw.select(
         "src",
-        canonicalize_url(resolve_href(F.col("_page"), F.col("href")))
+        _let(resolve_href(F.col("_page"), F.col("href")),
+             lambda r: canonicalize_url(r))
         .alias("dst")).filter(F.col("dst").isNotNull())
     if drop_self_loops:
         edges = edges.filter(F.col("src") != F.col("dst"))
@@ -209,9 +218,11 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
         F.trim(F.regexp_replace(
             F.lower(F.regexp_extract("tag", ANCHOR_RGX, 2)),
             r"\s+", " ")).alias("anchor_text"))
+    from tecs_hardware_kbc_spark.operators.augment import _let
+
     return (parsed
-            .select(canonicalize_url(
-                resolve_href(F.col("_page"), F.col("href"))).alias("dst"),
+            .select(_let(resolve_href(F.col("_page"), F.col("href")),
+                         lambda r: canonicalize_url(r)).alias("dst"),
                 "anchor_text")
             .filter(F.col("dst").isNotNull() & (F.col("anchor_text") != ""))
             .distinct())
